@@ -1,0 +1,273 @@
+"""SdaClient: participant, clerk, recipient, and maintenance workflows.
+
+Mirrors the `sda-client` crate's role traits against any SdaService:
+
+- Maintenance  (/root/reference/client/src/profile.rs:21-50)
+- Participating (participate.rs:13-117)
+- Clerking     (clerk.rs:10-107)
+- Receiving    (receive.rs:24-157)
+
+The share/mask math itself lives in :mod:`sda_tpu.sharing` /
+:mod:`sda_tpu.masking`; this module is the protocol choreography: fetch +
+signature-verify keys, encrypt per clerk, poll jobs, reconstruct + unmask.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from sda_tpu import protocol as proto
+from sda_tpu.client.crypto import CryptoModule, Keystore
+from sda_tpu.client.store import Filebased, MemoryStore
+from sda_tpu.fields import positive, trunc_mod
+from sda_tpu.service import SdaService
+from sda_tpu.utils.errors import Invalid
+
+__all__ = ["SdaClient", "RecipientOutput", "new_agent", "Filebased", "MemoryStore", "Keystore"]
+
+
+@dataclass
+class RecipientOutput:
+    """Final revealed aggregate (receive.rs:7-21)."""
+
+    modulus: int
+    values: np.ndarray
+
+    def positive(self) -> "RecipientOutput":
+        return RecipientOutput(self.modulus, positive(self.values, self.modulus))
+
+
+def new_agent(keystore: Keystore) -> proto.Agent:
+    """Create an agent with a fresh signature keypair (profile.rs:10-18)."""
+    crypto = CryptoModule(keystore)
+    return proto.Agent(id=proto.new_id(), verification_key=crypto.new_signature_key())
+
+
+class SdaClient:
+    """Primary object for interacting with an SDA service (lib.rs:39-56)."""
+
+    def __init__(self, agent: proto.Agent, keystore: Keystore, service: SdaService):
+        self.agent = agent
+        self.crypto = CryptoModule(keystore)
+        self.service = service
+
+    # ------------------------------------------------------- maintenance
+
+    def upload_agent(self) -> None:
+        self.service.create_agent(self.agent, self.agent)
+
+    def new_encryption_key(self) -> str:
+        return self.crypto.new_encryption_key()
+
+    def upload_encryption_key(self, key_id: str) -> None:
+        signed = self.crypto.sign_export(self.agent, key_id)
+        if signed is None:
+            raise Invalid("Could not sign encryption key")
+        self.service.create_encryption_key(self.agent, signed)
+
+    # ----------------------------------------------------- helper lookups
+
+    def _verified_encryption_key(self, owner_id: str, key_id: str) -> proto.EncryptionKey:
+        """Fetch a signed key + its owner, verify the signature
+        (participate.rs:56-72 / 85-97 pattern)."""
+        signed_key = self.service.get_encryption_key(self.agent, key_id)
+        if signed_key is None:
+            raise Invalid("Unknown encryption key")
+        owner = self.service.get_agent(self.agent, owner_id)
+        if owner is None:
+            raise Invalid("Unknown agent")
+        if not self.crypto.signature_is_valid(owner, signed_key):
+            raise Invalid("Signature verification failed for key")
+        return signed_key.body.body
+
+    # ------------------------------------------------------ participating
+
+    def new_participation(self, secrets, aggregation_id: str) -> proto.Participation:
+        """Build a participation: mask, share, encrypt per clerk
+        (participate.rs:37-113)."""
+        secrets = np.asarray(secrets)
+        aggregation = self.service.get_aggregation(self.agent, aggregation_id)
+        if aggregation is None:
+            raise Invalid("Could not find aggregation")
+        if secrets.shape[0] != aggregation.vector_dimension:
+            raise Invalid("The input length does not match the aggregation.")
+        committee = self.service.get_committee(self.agent, aggregation_id)
+        if committee is None:
+            raise Invalid("Could not find committee")
+
+        masker = self.crypto.new_secret_masker(aggregation.masking_scheme)
+        recipient_mask, masked_secrets = masker.mask(secrets)
+
+        recipient_encryption = None
+        if len(recipient_mask) > 0:
+            recipient_key = self._verified_encryption_key(
+                aggregation.recipient, aggregation.recipient_key
+            )
+            mask_encryptor = self.crypto.new_share_encryptor(
+                recipient_key, aggregation.recipient_encryption_scheme
+            )
+            recipient_encryption = mask_encryptor.encrypt(recipient_mask)
+
+        generator = self.crypto.new_share_generator(aggregation.committee_sharing_scheme)
+        shares_per_clerk = generator.share_vector(masked_secrets)  # [clerks, batch]
+
+        clerk_encryptions = []
+        for clerk_index, (clerk_id, clerk_key_id) in enumerate(committee.clerks_and_keys):
+            clerk_key = self._verified_encryption_key(clerk_id, clerk_key_id)
+            share_encryptor = self.crypto.new_share_encryptor(
+                clerk_key, aggregation.committee_encryption_scheme
+            )
+            clerk_encryptions.append(
+                (clerk_id, share_encryptor.encrypt(shares_per_clerk[clerk_index]))
+            )
+
+        return proto.Participation(
+            id=proto.new_id(),
+            participant=self.agent.id,
+            aggregation=aggregation.id,
+            recipient_encryption=recipient_encryption,
+            clerk_encryptions=tuple(clerk_encryptions),
+        )
+
+    def upload_participation(self, participation: proto.Participation) -> None:
+        self.service.create_participation(self.agent, participation)
+
+    def participate(self, secrets, aggregation_id: str) -> None:
+        self.upload_participation(self.new_participation(secrets, aggregation_id))
+
+    # ----------------------------------------------------------- clerking
+
+    def clerk_once(self) -> bool:
+        """Poll + process + push one job (clerk.rs:25-37)."""
+        job = self.service.get_clerking_job(self.agent, self.agent.id)
+        if job is None:
+            return False
+        result = self.process_clerking_job(job)
+        self.service.create_clerking_result(self.agent, result)
+        return True
+
+    def run_chores(self, max_iterations: int = -1) -> None:
+        """Drain the job queue; negative means until empty (clerk.rs:39-57)."""
+        if max_iterations < 0:
+            while self.clerk_once():
+                pass
+        else:
+            for _ in range(max_iterations):
+                if not self.clerk_once():
+                    break
+
+    def process_clerking_job(self, job: proto.ClerkingJob) -> proto.ClerkingResult:
+        """Decrypt all shares, combine, re-encrypt for recipient
+        (clerk.rs:63-107)."""
+        aggregation = self.service.get_aggregation(self.agent, job.aggregation)
+        if aggregation is None:
+            raise Invalid("Unknown aggregation")
+        committee = self.service.get_committee(self.agent, job.aggregation)
+        if committee is None:
+            raise Invalid("Unknown committee")
+
+        own_key_id = next(
+            (key for cid, key in committee.clerks_and_keys if cid == self.agent.id), None
+        )
+        if own_key_id is None:
+            raise Invalid("Could not find own encryption key in keyset")
+
+        decryptor = self.crypto.new_share_decryptor(
+            own_key_id, aggregation.committee_encryption_scheme
+        )
+        share_vectors = [decryptor.decrypt(e) for e in job.encryptions]
+
+        combiner = self.crypto.new_share_combiner(aggregation.committee_sharing_scheme)
+        combined = combiner.combine(share_vectors)
+
+        recipient_key = self._verified_encryption_key(
+            aggregation.recipient, aggregation.recipient_key
+        )
+        encryptor = self.crypto.new_share_encryptor(
+            recipient_key, aggregation.recipient_encryption_scheme
+        )
+        return proto.ClerkingResult(
+            job=job.id, clerk=job.clerk, encryption=encryptor.encrypt(combined)
+        )
+
+    # ---------------------------------------------------------- receiving
+
+    def upload_aggregation(self, aggregation: proto.Aggregation) -> None:
+        self.service.create_aggregation(self.agent, aggregation)
+
+    def begin_aggregation(self, aggregation_id: str) -> None:
+        """Elect a committee, blindly following the service suggestion
+        (receive.rs:48-62)."""
+        aggregation = self.service.get_aggregation(self.agent, aggregation_id)
+        if aggregation is None:
+            raise Invalid(f"Unknown aggregation, {aggregation_id}")
+        candidates = self.service.suggest_committee(self.agent, aggregation_id)
+        selected = [
+            (c.id, c.keys[0])
+            for c in candidates[: aggregation.committee_sharing_scheme.output_size]
+        ]
+        committee = proto.Committee(aggregation=aggregation_id, clerks_and_keys=tuple(selected))
+        self.service.create_committee(self.agent, committee)
+
+    def end_aggregation(self, aggregation_id: str) -> None:
+        """Idempotent: create one snapshot if none exists (receive.rs:64-78)."""
+        status = self.service.get_aggregation_status(self.agent, aggregation_id)
+        if status is None:
+            raise Invalid("Unknown aggregation")
+        if len(status.snapshots) >= 1:
+            return
+        snapshot = proto.Snapshot(id=proto.new_id(), aggregation=aggregation_id)
+        self.service.create_snapshot(self.agent, snapshot)
+
+    def reveal_aggregation(self, aggregation_id: str) -> RecipientOutput:
+        """Download, decrypt, reconstruct, unmask (receive.rs:80-157)."""
+        aggregation = self.service.get_aggregation(self.agent, aggregation_id)
+        if aggregation is None:
+            raise Invalid(f"Unknown aggregation, {aggregation_id}")
+        committee = self.service.get_committee(self.agent, aggregation_id)
+        if committee is None:
+            raise Invalid(f"Unknown committee, {aggregation_id}")
+        status = self.service.get_aggregation_status(self.agent, aggregation_id)
+        if status is None:
+            raise Invalid("Unknown aggregation")
+        snapshot = next((s for s in status.snapshots if s.result_ready), None)
+        if snapshot is None:
+            raise Invalid("Aggregation not ready")
+        result = self.service.get_snapshot_result(self.agent, aggregation_id, snapshot.id)
+        if result is None:
+            raise Invalid("Missing aggregation result")
+
+        decryptor = self.crypto.new_share_decryptor(
+            aggregation.recipient_key, aggregation.recipient_encryption_scheme
+        )
+
+        # decrypt and combine masks (receive.rs:102-118)
+        if result.recipient_encryptions is None:
+            mask = np.zeros(0, dtype=np.int64)
+        else:
+            decrypted_masks = [decryptor.decrypt(e) for e in result.recipient_encryptions]
+            mask_combiner = self.crypto.new_secret_masker(aggregation.masking_scheme)
+            mask = mask_combiner.combine(decrypted_masks)
+
+        # decrypt clerk results, map clerk -> committee index (receive.rs:127-138)
+        clerk_order = [cid for cid, _ in committee.clerks_and_keys]
+        indexed_shares = []
+        for clerking_result in result.clerk_encryptions:
+            try:
+                clerk_index = clerk_order.index(clerking_result.clerk)
+            except ValueError:
+                raise Invalid(f"Missing clerk, {clerking_result.clerk}")
+            indexed_shares.append((clerk_index, decryptor.decrypt(clerking_result.encryption)))
+
+        reconstructor = self.crypto.new_secret_reconstructor(
+            aggregation.committee_sharing_scheme
+        )
+        masked_output = reconstructor.reconstruct(
+            indexed_shares, dimension=aggregation.vector_dimension
+        )
+
+        unmasker = self.crypto.new_secret_masker(aggregation.masking_scheme)
+        output = unmasker.unmask((mask, masked_output))
+        return RecipientOutput(modulus=aggregation.modulus, values=np.asarray(output))

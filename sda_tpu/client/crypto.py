@@ -1,0 +1,156 @@
+"""Client crypto module: key management, sealed boxes, signatures, schemes.
+
+The CryptoModule factory equivalent
+(/root/reference/client/src/crypto/mod.rs:58-66): constructs maskers, share
+generators/combiners/reconstructors, encryptors/decryptors and signing
+helpers from the scheme descriptors carried inside an Aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sda_tpu import protocol as proto
+from sda_tpu import sodium
+from sda_tpu.masking import masker_for_scheme
+from sda_tpu.utils.errors import Invalid
+from sda_tpu.utils.varint import decode_varints, encode_varints
+
+__all__ = ["Keystore", "CryptoModule", "ShareEncryptor", "ShareDecryptor"]
+
+
+class Keystore:
+    """Key storage over a client store (crypto/mod.rs:38-52).
+
+    Encryption keypairs are stored as ``{"ek": b64, "dk": b64}`` and
+    signature keypairs as ``{"vk": b64, "sk": b64}``, keyed by key id.
+    """
+
+    def __init__(self, store):
+        self.store = store
+
+    def put_encryption_keypair(self, key_id: str, ek: bytes, dk: bytes) -> None:
+        self.store.put(f"ekey:{key_id}", {"ek": ek.hex(), "dk": dk.hex()})
+
+    def get_encryption_keypair(self, key_id: str):
+        obj = self.store.get(f"ekey:{key_id}")
+        if obj is None:
+            return None
+        return bytes.fromhex(obj["ek"]), bytes.fromhex(obj["dk"])
+
+    def put_signature_keypair(self, key_id: str, vk: bytes, sk: bytes) -> None:
+        self.store.put(f"skey:{key_id}", {"vk": vk.hex(), "sk": sk.hex()})
+
+    def get_signature_keypair(self, key_id: str):
+        obj = self.store.get(f"skey:{key_id}")
+        if obj is None:
+            return None
+        return bytes.fromhex(obj["vk"]), bytes.fromhex(obj["sk"])
+
+
+class ShareEncryptor:
+    """Varint-encode then seal shares for one recipient key (sodium.rs:33-46)."""
+
+    def __init__(self, encryption_key: proto.EncryptionKey):
+        self._pk = encryption_key.data
+
+    def encrypt(self, shares) -> proto.Encryption:
+        encoded = encode_varints(np.asarray(shares, dtype=np.int64))
+        return proto.Encryption(data=sodium.seal(encoded, self._pk))
+
+
+class ShareDecryptor:
+    """Open a sealed box and varint-decode shares (sodium.rs:72-92)."""
+
+    def __init__(self, ek: bytes, dk: bytes):
+        self._ek = ek
+        self._dk = dk
+
+    def decrypt(self, encryption: proto.Encryption) -> np.ndarray:
+        raw = sodium.seal_open(encryption.data, self._ek, self._dk)
+        return decode_varints(raw)
+
+
+class CryptoModule:
+    def __init__(self, keystore: Keystore):
+        self.keystore = keystore
+
+    # ------------------------------------------------------------ keygen
+
+    def new_signature_key(self) -> proto.Labelled:
+        """Fresh Ed25519 keypair, stored; returns the labelled public part
+        (signing/mod.rs:28-60)."""
+        vk, sk = sodium.sign_keypair()
+        key_id = proto.new_id()
+        self.keystore.put_signature_keypair(key_id, vk, sk)
+        return proto.Labelled(id=key_id, body=proto.VerificationKey(vk))
+
+    def new_encryption_key(self) -> str:
+        """Fresh X25519 keypair, stored; returns the key id (sodium.rs:95-109)."""
+        ek, dk = sodium.box_keypair()
+        key_id = proto.new_id()
+        self.keystore.put_encryption_keypair(key_id, ek, dk)
+        return key_id
+
+    # ----------------------------------------------------------- signing
+
+    def sign_export(self, signer: proto.Agent, key_id: str):
+        """Sign the canonical JSON of a labelled encryption key
+        (signing/mod.rs:72-103)."""
+        pair = self.keystore.get_encryption_keypair(key_id)
+        if pair is None:
+            return None
+        ek, _ = pair
+        labelled = proto.Labelled(id=key_id, body=proto.EncryptionKey(ek))
+        sig_pair = self.keystore.get_signature_keypair(signer.verification_key.id)
+        if sig_pair is None:
+            return None
+        _, sk = sig_pair
+        signature = sodium.sign_detached(proto.canonical(labelled), sk)
+        return proto.Signed(
+            signature=proto.Signature(signature), signer=signer.id, body=labelled
+        )
+
+    @staticmethod
+    def signature_is_valid(agent: proto.Agent, signed: proto.Signed) -> bool:
+        """Verify signer id + detached signature (signing/mod.rs:106-132)."""
+        if signed.signer != agent.id:
+            raise Invalid("Agent differs from claimed signer")
+        return sodium.verify_detached(
+            signed.signature.data,
+            proto.canonical(signed.body),
+            agent.verification_key.body.data,
+        )
+
+    # -------------------------------------------------------- encryption
+
+    def new_share_encryptor(self, encryption_key, scheme) -> ShareEncryptor:
+        if not isinstance(scheme, proto.SodiumEncryptionScheme):
+            raise Invalid(f"unsupported encryption scheme {scheme!r}")
+        return ShareEncryptor(encryption_key)
+
+    def new_share_decryptor(self, key_id: str, scheme) -> ShareDecryptor:
+        if not isinstance(scheme, proto.SodiumEncryptionScheme):
+            raise Invalid(f"unsupported encryption scheme {scheme!r}")
+        pair = self.keystore.get_encryption_keypair(key_id)
+        if pair is None:
+            raise Invalid("Could not load keypair for decryption")
+        return ShareDecryptor(*pair)
+
+    # ----------------------------------------------------------- schemes
+
+    @staticmethod
+    def new_secret_masker(scheme):
+        return masker_for_scheme(scheme)
+
+    @staticmethod
+    def new_share_generator(scheme):
+        return scheme.engine()
+
+    @staticmethod
+    def new_share_combiner(scheme):
+        return scheme.engine()
+
+    @staticmethod
+    def new_secret_reconstructor(scheme):
+        return scheme.engine()

@@ -1,0 +1,127 @@
+"""Masking schemes: None / Full / ChaCha.
+
+Semantics mirror /root/reference/client/src/crypto/masking/:
+
+- ``none.rs``: empty mask, pass-through.
+- ``full.rs``: additive one-time pad; participant uploads the full mask
+  (encrypted for the recipient), recipient sums all masks and subtracts.
+- ``chacha.rs``: participant uploads only a small PRG *seed* (as i64 words);
+  recipient re-expands every seed — a bandwidth/compute trade.
+
+All signed arithmetic uses Rust truncated remainders; values stay in
+``(-m, m)`` until ``positive()`` at the reveal edge.
+"""
+
+from __future__ import annotations
+
+import secrets as _secrets
+
+import numpy as np
+
+from sda_tpu import chacha
+from sda_tpu.fields import PrimeField, trunc_mod
+from sda_tpu.utils.errors import Invalid
+
+__all__ = ["NoneMasker", "FullMasker", "ChaChaMasker", "masker_for_scheme"]
+
+
+class NoneMasker:
+    """No masking (none.rs): secrets are shared directly with the clerks."""
+
+    def mask(self, secrets):
+        return np.zeros(0, dtype=np.int64), np.asarray(secrets, dtype=np.int64).copy()
+
+    def combine(self, masks):
+        for m in masks:
+            if len(m) != 0:
+                raise Invalid("unexpected non-empty mask for None masking")
+        return np.zeros(0, dtype=np.int64)
+
+    def unmask(self, mask_and_masked):
+        mask, masked = mask_and_masked
+        if len(mask) != 0:
+            raise Invalid("unexpected non-empty mask for None masking")
+        return np.asarray(masked).copy()
+
+
+class FullMasker:
+    """Full-entropy additive pad (full.rs)."""
+
+    def __init__(self, modulus: int):
+        self.modulus = modulus
+        self._field = PrimeField(modulus)
+
+    def mask(self, secrets):
+        secrets = np.asarray(secrets)
+        masks = self._field.sample(secrets.shape)
+        masked = trunc_mod(secrets + masks, self.modulus)  # full.rs:30-33
+        return masks, masked
+
+    def combine(self, masks):
+        masks = list(masks)
+        if not masks:
+            return np.zeros(0, dtype=np.int64)
+        d = len(masks[0])
+        acc = np.zeros(d, dtype=self._field.dtype)
+        for m in masks:
+            if len(m) != d:
+                raise Invalid("mask dimension mismatch")
+            acc = trunc_mod(acc + np.asarray(m, dtype=acc.dtype), self.modulus)
+        return acc
+
+    def unmask(self, mask_and_masked):
+        mask, masked = mask_and_masked
+        if len(mask) != len(masked):
+            raise Invalid("mask/masked dimension mismatch")
+        return trunc_mod(np.asarray(masked) - np.asarray(mask), self.modulus)  # full.rs:62
+
+
+class ChaChaMasker:
+    """Seed-compressed masking (chacha.rs): upload the PRG seed, not the mask."""
+
+    def __init__(self, modulus: int, dimension: int, seed_bitsize: int):
+        self.modulus = modulus
+        self.dimension = dimension
+        self.seed_bitsize = seed_bitsize
+
+    def mask(self, secrets):
+        secrets = np.asarray(secrets)
+        if secrets.shape[0] != self.dimension:
+            raise Invalid("input dimension does not match masking scheme")
+        seed_words = chacha.new_seed(self.seed_bitsize)
+        mask = chacha.expand_masks([seed_words], self.dimension, self.modulus)[0]
+        masked = trunc_mod(secrets + mask, self.modulus)
+        # the uploaded "mask" is the seed, widened to i64 words (chacha.rs:48-52)
+        return np.array(seed_words, dtype=np.int64), masked
+
+    def combine(self, seeds_as_i64):
+        seeds = [np.asarray(s, dtype=np.int64) for s in seeds_as_i64]
+        if not seeds:
+            return np.zeros(self.dimension, dtype=np.int64)
+        # re-expand every participant's seed and fold (chacha.rs:60-75);
+        # expansion is vectorised over participants (the recipient hot path)
+        word_lists = [[int(np.uint32(w)) for w in s] for s in seeds]
+        masks = chacha.expand_masks(word_lists, self.dimension, self.modulus)
+        acc = np.zeros(self.dimension, dtype=np.int64)
+        for row in masks:
+            acc = trunc_mod(acc + row, self.modulus)
+        return acc
+
+    def unmask(self, mask_and_masked):
+        mask, masked = mask_and_masked
+        if len(mask) != len(masked):
+            raise Invalid("mask/masked dimension mismatch")
+        return trunc_mod(np.asarray(masked) - np.asarray(mask), self.modulus)
+
+
+def masker_for_scheme(scheme):
+    """Factory mirroring CryptoModule's masker construction (masking/mod.rs:33-52)."""
+    from sda_tpu import protocol as proto
+
+    if isinstance(scheme, proto.NoMasking):
+        return NoneMasker()
+    if isinstance(scheme, proto.FullMasking):
+        return FullMasker(scheme.modulus)
+    if isinstance(scheme, proto.ChaChaMasking):
+        return ChaChaMasker(scheme.modulus, scheme.dimension, scheme.seed_bitsize)
+    raise Invalid(f"unknown masking scheme: {scheme!r}")

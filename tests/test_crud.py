@@ -1,0 +1,135 @@
+"""Agent/profile/key CRUD + ACL negatives + aggregation listing.
+
+Mirrors /root/reference/integration-tests/tests/crud.rs.
+"""
+
+import pytest
+
+from sda_tpu import protocol as proto
+from sda_tpu.utils.errors import Invalid, InvalidCredentials, PermissionDenied
+
+from .fixtures import dummy_agent, dummy_signed_key, make_client, with_service
+
+BACKENDS = ["memory", "jsondir"]
+
+
+@pytest.fixture(params=BACKENDS)
+def service(request):
+    with with_service(request.param) as s:
+        yield s
+
+
+def test_ping(service):
+    assert service.ping().running is True
+
+
+def test_agent_crud(service):
+    agent = dummy_agent()
+    service.create_agent(agent, agent)
+    assert service.get_agent(agent, agent.id) == agent
+    # idempotent identical create succeeds (compare-on-conflict)
+    service.create_agent(agent, agent)
+
+
+def test_agent_create_acl(service):
+    alice, eve = dummy_agent(), dummy_agent()
+    with pytest.raises(PermissionDenied):
+        service.create_agent(eve, alice)
+
+
+def test_profile_crud_and_acl(service):
+    agent = dummy_agent()
+    service.create_agent(agent, agent)
+    profile = proto.Profile(owner=agent.id, name="Alice")
+    service.upsert_profile(agent, profile)
+    assert service.get_profile(agent, agent.id) == profile
+    # update
+    profile2 = proto.Profile(owner=agent.id, name="Alice 2", website="https://x")
+    service.upsert_profile(agent, profile2)
+    assert service.get_profile(agent, agent.id) == profile2
+    # ACL negative (crud.rs:63-81)
+    eve = dummy_agent()
+    service.create_agent(eve, eve)
+    with pytest.raises(PermissionDenied):
+        service.upsert_profile(eve, proto.Profile(owner=agent.id, name="Mallory"))
+
+
+def test_encryption_key_crud_acl(service):
+    agent = dummy_agent()
+    service.create_agent(agent, agent)
+    key = dummy_signed_key(agent)
+    service.create_encryption_key(agent, key)
+    assert service.get_encryption_key(agent, key.id) == key
+    eve = dummy_agent()
+    service.create_agent(eve, eve)
+    with pytest.raises(PermissionDenied):
+        service.create_encryption_key(eve, dummy_signed_key(agent))
+
+
+def test_aggregation_listing_filters(service):
+    recipient = dummy_agent()
+    service.create_agent(recipient, recipient)
+
+    def agg(title):
+        return proto.Aggregation(
+            id=proto.new_id(),
+            title=title,
+            vector_dimension=4,
+            modulus=433,
+            recipient=recipient.id,
+            recipient_key=proto.new_id(),
+            masking_scheme=proto.NoMasking(),
+            committee_sharing_scheme=proto.AdditiveSharing(share_count=3, modulus=433),
+        )
+
+    a1, a2 = agg("federated mnist"), agg("sensor sum")
+    service.create_aggregation(recipient, a1)
+    service.create_aggregation(recipient, a2)
+    ids = service.list_aggregations(recipient)
+    assert set(ids) == {a1.id, a2.id}
+    assert service.list_aggregations(recipient, filter="mnist") == [a1.id]
+    assert set(service.list_aggregations(recipient, recipient=recipient.id)) == {a1.id, a2.id}
+    other = dummy_agent()
+    assert service.list_aggregations(recipient, recipient=other.id) == []
+    # recipient-only delete
+    with pytest.raises(PermissionDenied):
+        eve = dummy_agent()
+        service.delete_aggregation(eve, a1.id)
+    service.delete_aggregation(recipient, a1.id)
+    assert service.get_aggregation(recipient, a1.id) is None
+
+
+def test_committee_size_validation(service):
+    recipient = dummy_agent()
+    service.create_agent(recipient, recipient)
+    agg = proto.Aggregation(
+        id=proto.new_id(),
+        title="t",
+        vector_dimension=4,
+        modulus=433,
+        recipient=recipient.id,
+        recipient_key=proto.new_id(),
+        masking_scheme=proto.NoMasking(),
+        committee_sharing_scheme=proto.AdditiveSharing(share_count=3, modulus=433),
+    )
+    service.create_aggregation(recipient, agg)
+    bad = proto.Committee(aggregation=agg.id, clerks_and_keys=((proto.new_id(), proto.new_id()),))
+    with pytest.raises(Invalid):
+        service.create_committee(recipient, bad)
+
+
+def test_auth_token_lifecycle(service):
+    # crud.rs:107-132 equivalent against the inner server
+    server = getattr(service, "server", None)
+    if server is None:
+        pytest.skip("auth tokens are exercised via the HTTP layer for proxies")
+    agent = dummy_agent()
+    service.create_agent(agent, agent)
+    token = proto.AuthToken(id=agent.id, body="s3cret")
+    server.upsert_auth_token(token)
+    assert server.check_auth_token(token) == agent
+    with pytest.raises(InvalidCredentials):
+        server.check_auth_token(proto.AuthToken(id=agent.id, body="wrong"))
+    server.delete_auth_token(agent.id)
+    with pytest.raises(InvalidCredentials):
+        server.check_auth_token(token)
