@@ -1,0 +1,109 @@
+"""The TPU executor for bulk secure aggregation.
+
+Single-device jitted pipeline over limb arrays; the multi-chip variants live
+in :mod:`sda_tpu.parallel`. The pipeline mirrors the protocol call stacks
+(SURVEY.md §3) with the host/device boundary drawn exactly at the field math:
+
+- participant side: mask + share generation (the per-participant NTT pipeline
+  folded into one modular matmul, P3/P7);
+- clerk side: the combine (modular segment-sum over participants, P2);
+- recipient side: reconstruction (inverse transform matmul) + unmask.
+
+Wire encryption/decryption (sealed boxes) stays host-side; this engine is
+what a clerk/recipient runs between decrypt and encrypt when the batch is
+large, and what the benchmark configs measure.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sda_tpu.ops.limbs import LimbContext
+from sda_tpu.ops.modmat import combine, modmat, uniform_limbs
+from sda_tpu.sharing import DeviceSchemeSpec
+
+__all__ = ["TpuAggregationEngine"]
+
+
+class TpuAggregationEngine:
+    """Compiled bulk executor for one (scheme, dimension) configuration.
+
+    Data layout: secrets ``[P, d]`` become ``[P, nb, k, L]`` limb tensors
+    (``nb = ceil(d/k)`` batches of ``k`` packed secrets — the reference's
+    batching layer, batched.rs:18-53, as a reshape). Shares are
+    ``[P, nb, n, L]``; the clerk axis ``n`` is the distribution axis.
+    """
+
+    def __init__(self, spec: DeviceSchemeSpec, dimension: int):
+        self.spec = spec
+        self.dimension = dimension
+        self.ctx = LimbContext.create(spec.modulus)
+        k = spec.secret_count
+        self.nb = -(-dimension // k)
+        # Montgomery-form matrices on device; mont_mul(normal, mont) = product
+        self.share_mat = jnp.asarray(self.ctx.encode_mont(spec.share_matrix))
+        self.rec_mat = jnp.asarray(self.ctx.encode_mont(spec.reconstruct_matrix))
+
+        ctx = self.ctx
+
+        def _share(ext):  # [P, nb, k+r, L] -> [P, nb, n, L]
+            return modmat(ctx, ext, self.share_mat)
+
+        def _combine(shares):  # [P, nb, n, L] -> [nb, n, L]
+            return combine(ctx, shares, axis=0)
+
+        def _reconstruct(combined):  # [nb, n, L] -> [nb, k, L]
+            return modmat(ctx, combined, self.rec_mat)
+
+        def _aggregate(secrets, randomness):
+            ext = jnp.concatenate([secrets, randomness], axis=2)
+            return _reconstruct(_combine(_share(ext)))
+
+        def _aggregate_from_key(secrets, key):
+            rand = uniform_limbs(
+                ctx, key, secrets.shape[:2] + (spec.randomness_count,)
+            )
+            return _aggregate(secrets, rand)
+
+        self.share = jax.jit(_share)
+        self.combine = jax.jit(_combine)
+        self.reconstruct = jax.jit(_reconstruct)
+        self.aggregate = jax.jit(_aggregate)
+        self.aggregate_from_key = jax.jit(_aggregate_from_key)
+
+    # ------------------------------------------------------ host edges
+
+    def encode_secrets(self, secrets) -> np.ndarray:
+        """``[P, d]`` ints -> ``[P, nb, k, L]`` canonical limb tensor
+        (zero-padding the tail batch, batched.rs:37-43)."""
+        secrets = np.asarray(secrets, dtype=object)
+        p_count, d = secrets.shape
+        if d != self.dimension:
+            raise ValueError("dimension mismatch")
+        k = self.spec.secret_count
+        padded = np.zeros((p_count, self.nb * k), dtype=object)
+        padded[:, :d] = secrets
+        return self.ctx.encode(padded.reshape(p_count, self.nb, k))
+
+    def random_ext(self, p_count: int, rng: np.random.Generator | None = None) -> np.ndarray:
+        """Host-CSPRNG randomness block ``[P, nb, r, L]`` (protocol path)."""
+        from sda_tpu.fields import PrimeField
+
+        f = PrimeField(self.spec.modulus)
+        r = f.sample((p_count, self.nb, self.spec.randomness_count), rng=rng)
+        return self.ctx.encode(r)
+
+    def decode_output(self, out_limbs) -> np.ndarray:
+        """``[nb, k, L]`` -> the revealed ``[d]`` vector (truncating padding,
+        batched.rs:94)."""
+        vals = self.ctx.decode(np.asarray(out_limbs))
+        return vals.reshape(-1)[: self.dimension]
+
+    def decode_shares(self, shares_limbs) -> np.ndarray:
+        """``[..., n, L]`` -> object ints (for wire encoding per clerk)."""
+        return self.ctx.decode(np.asarray(shares_limbs))

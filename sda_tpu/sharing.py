@@ -48,7 +48,26 @@ from sda_tpu.fields import PrimeField, trunc_mod
 from sda_tpu.ntt import intt_matrix, ntt_matrix
 from sda_tpu.utils.errors import Invalid
 
-__all__ = ["AdditiveScheme", "PackedShamirScheme"]
+__all__ = ["AdditiveScheme", "PackedShamirScheme", "DeviceSchemeSpec"]
+
+
+@dataclass(frozen=True)
+class DeviceSchemeSpec:
+    """Everything the TPU engine needs about a sharing scheme.
+
+    Both schemes are linear, so both reduce to the same two matrices over
+    F_p (used by :mod:`sda_tpu.engine` in limb/Montgomery form):
+
+    - ``shares[B, n] = concat(secrets[B, k], randomness[B, r]) @ share_matrix``
+    - ``secrets[B, k] = shares[B, n] @ reconstruct_matrix``  (all-shares path)
+    """
+
+    modulus: int
+    secret_count: int  # k: secrets packed per batch row
+    share_count: int  # n: one share per committee clerk
+    randomness_count: int  # r: fresh uniform elements per batch row
+    share_matrix: np.ndarray  # [k + r, n] object/int64 canonical
+    reconstruct_matrix: np.ndarray  # [n, k]
 
 
 # --------------------------------------------------------------------------
@@ -127,6 +146,30 @@ class AdditiveScheme:
         """
         vectors = [np.asarray(v) for _, v in indexed_shares]
         return self.combine(vectors)
+
+    def device_spec(self) -> DeviceSchemeSpec:
+        """Additive sharing as the unified linear form.
+
+        ``ext = [secret, r_1..r_{n-1}]``; share j < n-1 is ``r_j`` and the
+        last share is ``secret - sum(r_j)`` (additive.rs:42-48), i.e. a
+        ``[n, n]`` permutation-like matrix with a final ``-1`` column.
+        """
+        n = self.share_count
+        f = PrimeField(self.modulus)
+        mat = np.zeros((n, n), dtype=f.dtype)
+        mat[0, n - 1] = 1  # secret flows into the last share
+        for j in range(1, n):
+            mat[j, j - 1] = 1  # randomness r_j is share j-1
+            mat[j, n - 1] = self.modulus - 1  # ... and subtracts from the last
+        rec = np.ones((n, 1), dtype=f.dtype)  # reconstruction = plain sum
+        return DeviceSchemeSpec(
+            modulus=self.modulus,
+            secret_count=1,
+            share_count=n,
+            randomness_count=n - 1,
+            share_matrix=f.asarray(mat),
+            reconstruct_matrix=f.asarray(rec),
+        )
 
 
 # --------------------------------------------------------------------------
@@ -319,3 +362,18 @@ class PackedShamirScheme:
             secrets = f.matmul(mat_shares, mat)
         flat = secrets.reshape(-1)
         return flat[:dimension]
+
+    def device_spec(self) -> DeviceSchemeSpec:
+        """Packed Shamir as the unified linear form.
+
+        ``ext = [secrets(k), randomness(t)]``: the fixed zero at point 1
+        contributes nothing, so its row of :attr:`share_matrix` is dropped.
+        """
+        return DeviceSchemeSpec(
+            modulus=self.prime_modulus,
+            secret_count=self.secret_count,
+            share_count=self.share_count,
+            randomness_count=self.privacy_threshold,
+            share_matrix=self.share_matrix[1:, :],
+            reconstruct_matrix=self.full_reconstruct_matrix,
+        )

@@ -6,10 +6,25 @@ on a host-platform device mesh (the same XLA collectives compile for real ICI).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The dev image's sitecustomize pre-imports jax with the axon remote-TPU
+# platform, so env vars alone are too late; force the CPU platform via the
+# config API (backends are not initialized yet at conftest time) or every
+# eager op becomes a network round trip through the TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_disable_hlo_passes" not in flags:
+    # XLA:CPU's algebraic simplifier enters its known circular-rewrite loop on
+    # the 16-bit-limb mask/shift chains (it logs "likely stuck in a circular
+    # simplification loop") and compile times explode; the pass only helps
+    # runtime, which tests don't care about.
+    flags = flags + " --xla_disable_hlo_passes=algsimp"
+os.environ["XLA_FLAGS"] = flags
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,112 @@
+"""Device engine: bulk aggregation vs the host protocol-layer golden path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sda_tpu.engine import TpuAggregationEngine
+from sda_tpu.fields import PrimeField
+from sda_tpu.models import FederatedAggregation
+from sda_tpu.sharing import AdditiveScheme, PackedShamirScheme
+
+REF = dict(
+    secret_count=3,
+    share_count=8,
+    privacy_threshold=4,
+    prime_modulus=433,
+    omega_secrets=354,
+    omega_shares=150,
+)
+
+
+@pytest.mark.parametrize(
+    "scheme",
+    [
+        PackedShamirScheme(**REF),
+        AdditiveScheme(share_count=5, modulus=433),
+        AdditiveScheme(share_count=3, modulus=(1 << 61) - 1),
+    ],
+    ids=["packed433", "additive433", "additive61bit"],
+)
+def test_engine_aggregate_matches_sum(scheme, rng):
+    d, p_count = 10, 6
+    modulus = getattr(scheme, "prime_modulus", None) or scheme.modulus
+    engine = TpuAggregationEngine(scheme.device_spec(), d)
+    secrets = np.array(
+        [[int(rng.integers(0, min(modulus, 2**31))) for _ in range(d)] for _ in range(p_count)],
+        dtype=object,
+    )
+    enc = jnp.asarray(engine.encode_secrets(secrets))
+    rand = jnp.asarray(engine.random_ext(p_count, rng=rng))
+    out = engine.aggregate(enc, rand)
+    got = [int(x) for x in engine.decode_output(out)]
+    expect = [int(sum(secrets[i][j] for i in range(p_count))) % modulus for j in range(d)]
+    assert got == expect
+
+
+def test_engine_stage_outputs_match_host_scheme(rng):
+    """Device share generation must be reconstructible by the host scheme."""
+    scheme = PackedShamirScheme(**REF)
+    engine = TpuAggregationEngine(scheme.device_spec(), 4)
+    secrets = np.array([[1, 2, 3, 4]], dtype=object)
+    enc = jnp.asarray(engine.encode_secrets(secrets))
+    rand = jnp.asarray(engine.random_ext(1, rng=rng))
+    ext = jnp.concatenate([enc, rand], axis=2)
+    shares = engine.share(ext)  # [1, nb, n, L]
+    share_vals = engine.decode_shares(np.asarray(shares))[0]  # [nb, n]
+    per_clerk = share_vals.T  # [n, nb]
+    out = scheme.reconstruct([(i, per_clerk[i]) for i in range(8)], dimension=4)
+    from sda_tpu.fields import positive
+
+    assert [int(x) for x in positive(out, 433)] == [1, 2, 3, 4]
+
+
+def test_federated_model_masked_reveal(rng):
+    model = FederatedAggregation.packed_64bit(dimension=64)
+    secrets, key = model.example_inputs(participants=8, seed=1)
+    out = model.forward(secrets, key)
+    revealed = model.reveal(np.asarray(out))
+    # golden: plain sum of the example inputs
+    rng2 = np.random.default_rng(1)
+    raw = rng2.integers(0, min(model.scheme_modulus, 1 << 31), size=(8, 64))
+    expect = [int(x) % model.scheme_modulus for x in raw.sum(axis=0)]
+    assert [int(x) for x in revealed] == expect
+
+
+def test_federated_model_128bit(rng):
+    model = FederatedAggregation.packed_128bit(dimension=12)
+    assert model.engine.ctx.L == 8
+    secrets, key = model.example_inputs(participants=4, seed=2)
+    out = model.forward(secrets, key)
+    revealed = model.reveal(np.asarray(out))
+    rng2 = np.random.default_rng(2)
+    raw = rng2.integers(0, min(model.scheme_modulus, 1 << 31), size=(4, 12))
+    expect = [int(x) % model.scheme_modulus for x in raw.sum(axis=0)]
+    assert [int(x) for x in revealed] == expect
+
+
+def test_sharded_pipeline_matches_single_device(rng):
+    from sda_tpu.parallel import ShardedAggregationPipeline, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    scheme = PackedShamirScheme(**REF)
+    d = 12
+    engine = TpuAggregationEngine(scheme.device_spec(), d)
+    mesh = make_mesh({"p": 2, "d": 2, "c": 2})
+    pipe = ShardedAggregationPipeline(engine, mesh)
+    p_count = 8
+    secrets = np.array(
+        [[int(rng.integers(0, 433)) for _ in range(d)] for _ in range(p_count)], dtype=object
+    )
+    enc = jnp.asarray(engine.encode_secrets(secrets))
+    rand = jnp.asarray(engine.random_ext(p_count, rng=rng))
+    single = engine.aggregate(enc, rand)
+    sharded = pipe.aggregate(pipe.shard_inputs(enc), pipe.shard_inputs(rand))
+    got_single = [int(x) for x in engine.decode_output(np.asarray(single))]
+    got_sharded = [int(x) for x in engine.decode_output(np.asarray(sharded))]
+    assert got_single == got_sharded
+    expect = [int(sum(secrets[i][j] for i in range(p_count))) % 433 for j in range(d)]
+    assert got_sharded == expect

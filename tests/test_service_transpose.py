@@ -82,9 +82,12 @@ def test_full_mocked_loop(service):
     assert status.snapshots[0].result_ready is False
 
     # each clerk's job contains only bytes tagged with its own index
+    # candidates include every agent with a signed key — the recipient too
+    agents_by_id = {c.id: c for c, _ in clerks}
+    agents_by_id[recipient.id] = recipient
     seen_clerks = set()
     for ci, (clerk_id, _) in enumerate(selected):
-        clerk_agent = next(c for c, _ in clerks if c.id == clerk_id)
+        clerk_agent = agents_by_id[clerk_id]
         job = service.get_clerking_job(clerk_agent, clerk_id)
         assert job is not None
         assert job.aggregation == agg.id
