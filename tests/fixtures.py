@@ -17,6 +17,9 @@ from sda_tpu.server import new_memory_server
 
 
 def make_client(service) -> SdaClient:
+    # HTTP proxies carry a per-agent auth token; give each client its own
+    if hasattr(service, "clone_fresh"):
+        service = service.clone_fresh()
     keystore = Keystore(MemoryStore())
     agent = new_agent(keystore)
     return SdaClient(agent, keystore, service)

@@ -76,7 +76,9 @@ def check_full_aggregation(service, **overrides):
     # close aggregation
     recipient.end_aggregation(aggregation.id)
 
-    status = service.get_aggregation_status(recipient.agent, aggregation.id)
+    # status checks go through the recipient's own service handle (the HTTP
+    # transport authenticates per agent)
+    status = recipient.service.get_aggregation_status(recipient.agent, aggregation.id)
     assert status.aggregation == aggregation.id
     assert status.number_of_participations == 2
     assert len(status.snapshots) == 1
@@ -88,7 +90,7 @@ def check_full_aggregation(service, **overrides):
     for clerk in clerks:
         clerk.run_chores(-1)
 
-    status = service.get_aggregation_status(recipient.agent, aggregation.id)
+    status = recipient.service.get_aggregation_status(recipient.agent, aggregation.id)
     assert status.number_of_participations == 2
     expected_results = aggregation.committee_sharing_scheme.output_size
     assert status.snapshots[0].number_of_clerking_results == expected_results
@@ -109,6 +111,13 @@ def test_full_loop_jsondir_packed():
     # durable-store variant of the heaviest config
     with with_service("jsondir") as service:
         check_full_aggregation(service, **CONFIGS["with_packedshamir"])
+
+
+@pytest.mark.parametrize("config", ["simple", "with_packedshamir"])
+def test_full_loop_over_http(config):
+    # same loop through the real REST transport (lib.rs:143-187 feature matrix)
+    with with_service("http") as service:
+        check_full_aggregation(service, **CONFIGS[config])
 
 
 def test_end_aggregation_idempotent():
