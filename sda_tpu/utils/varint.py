@@ -14,9 +14,44 @@ this is the host-side hot loop when preparing millions of shares for the wire.
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
 
 _U64_MASK = (1 << 64) - 1
+
+
+def _load_native():
+    """Optional C++ fast path (native/varint.cpp); numpy fallback otherwise."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libsda_native.so",
+    )
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.sda_varint_encode.restype = ctypes.c_size_t
+    lib.sda_varint_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.sda_varint_decode.restype = ctypes.c_size_t
+    lib.sda_varint_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_size_t,
+    ]
+    return lib
+
+
+_NATIVE = _load_native()
 
 
 def _zigzag_encode(n: int) -> int:
@@ -76,6 +111,15 @@ def encode_varints(values) -> bytes:
     if arr.size == 0:
         return b""
     flat = arr.ravel()
+    if _NATIVE is not None:
+        src = np.ascontiguousarray(flat)
+        out = np.empty(10 * src.size, dtype=np.uint8)
+        n = _NATIVE.sda_varint_encode(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            src.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out[:n].tobytes()
     z = (flat.astype(np.uint64) << np.uint64(1)) ^ (flat >> np.int64(63)).astype(np.uint64)
     # number of 7-bit groups per value (at least 1), via threshold comparisons
     sizes = np.ones(flat.shape, dtype=np.int64)
@@ -114,6 +158,18 @@ def decode_varints(data: bytes) -> np.ndarray:
     """
     if not data:
         return np.zeros(0, dtype=np.int64)
+    if _NATIVE is not None:
+        src = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(len(data), dtype=np.int64)
+        n = _NATIVE.sda_varint_decode(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            src.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out.size,
+        )
+        if n == ctypes.c_size_t(-1).value:
+            raise ValueError("malformed varint stream")
+        return out[:n].copy()
     buf = np.frombuffer(data, dtype=np.uint8)
     cont = (buf & 0x80) != 0
     # value boundaries: a value ends at each byte with cont bit clear
