@@ -76,42 +76,31 @@ class TpuAggregationEngine:
         self.aggregate = jax.jit(_aggregate)
         self.aggregate_from_key = jax.jit(_aggregate_from_key)
 
-        def _aggregate_fused(secrets, seed, tile=512, interpret=False):
+        @partial(jax.jit, static_argnums=(2, 3))
+        def _fused(x, seed, rows, interpret):
+            from sda_tpu.ops.pallas_kernels import (
+                batched_from_planar,
+                fused_share_combine_planar,
+                planar_from_batched,
+            )
+
+            planar = planar_from_batched(x, rows)
+            combined_planar = fused_share_combine_planar(
+                ctx, planar, self.share_mat, spec.randomness_count,
+                seed=seed, rows=rows, interpret=interpret,
+            )
+            return _reconstruct(batched_from_planar(combined_planar, self.nb))
+
+        def _aggregate_fused(secrets, seed, rows=8, interpret=False):
             """Pallas fast path: share+combine fused (randomness on-chip)."""
-            from sda_tpu.ops.pallas_kernels import fused_share_combine
+            return _fused(secrets, jnp.asarray(seed, dtype=jnp.int32), rows, interpret)
 
-            secrets, nb = self._pad_tiles(secrets, tile)
-            combined = fused_share_combine(
-                ctx, secrets, self.share_mat, seed, spec.randomness_count,
-                tile=tile, interpret=interpret,
-            )
-            return _reconstruct(combined[: self.nb])
-
-        def _aggregate_fused_ext(ext, tile=512, interpret=False):
+        def _aggregate_fused_ext(ext, rows=8, interpret=False):
             """Pallas fast path with caller (host-CSPRNG) randomness."""
-            from sda_tpu.ops.pallas_kernels import fused_share_combine_ext
-
-            ext, nb = self._pad_tiles(ext, tile)
-            combined = fused_share_combine_ext(
-                ctx, ext, self.share_mat, tile=tile, interpret=interpret
-            )
-            return _reconstruct(combined[: self.nb])
+            return _fused(ext, jnp.asarray(0, dtype=jnp.int32), rows, interpret)
 
         self.aggregate_fused = _aggregate_fused
         self.aggregate_fused_ext = _aggregate_fused_ext
-
-    @staticmethod
-    def _pad_tiles(x, tile: int):
-        """Zero-pad the batch axis (1) of ``[P, NB, *, L]`` to a tile multiple.
-
-        Zero batches share the zero vector; their combined shares reconstruct
-        to zero and are sliced off, so padding is semantically inert.
-        """
-        nb = x.shape[1]
-        pad = (-nb) % tile
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        return x, nb
 
     # ------------------------------------------------------ host edges
 

@@ -133,14 +133,18 @@ class LimbContext:
         return _jit_add_mod(self, a, b)
 
     def _add_mod_impl(self, a, b):
+        return self._join(self.add_mod_lanes(self._split(a), self._split(b)))
+
+    def add_mod_lanes(self, av, bv):
+        """Lane-list form: L same-shaped arrays in, L out (kernel-friendly:
+        no limb axis exists, so any Mosaic-tiled lane shape works)."""
         L = self.L
-        av, bv = self._split(a), self._split(b)
         s, carry = [], jnp.zeros_like(av[0])
         for j in range(L):
             t = av[j] + bv[j] + carry
             s.append(t & _MASK)
             carry = t >> _W
-        return self._join(self._cond_sub(s, carry))
+        return self._cond_sub(s, carry)
 
     def _cond_sub(self, s, carry):
         """Subtract p if (carry, s) >= p; s is a list of L lanes."""
@@ -186,13 +190,17 @@ class LimbContext:
         return _jit_mont_mul(self, a, b)
 
     def _mont_mul_impl(self, a, b):
-        L = self.L
         a = jnp.asarray(a, dtype=jnp.uint32)
         b = jnp.asarray(b, dtype=jnp.uint32)
         shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
         av = [jnp.broadcast_to(x, shape) for x in self._split(a)]
         bv = [jnp.broadcast_to(x, shape) for x in self._split(b)]
-        zero = jnp.zeros(shape, dtype=jnp.uint32)
+        return self._join(self.mont_mul_lanes(av, bv))
+
+    def mont_mul_lanes(self, av, bv):
+        """Lane-list CIOS Montgomery product (see :meth:`mont_mul`)."""
+        L = self.L
+        zero = jnp.zeros_like(av[0])
         T = [zero] * (L + 2)
         for i in range(L):
             # multiply-accumulate row i
@@ -217,7 +225,7 @@ class LimbContext:
             T[L] = T[L + 1] + (t >> _W)
             T[L + 1] = zero
         # result in T[0..L], < 2p: one conditional subtract
-        return self._join(self._cond_sub(T[:L], T[L]))
+        return self._cond_sub(T[:L], T[L])
 
     def to_mont(self, a):
         """Normal -> Montgomery domain (multiply by R via r2 constant)."""

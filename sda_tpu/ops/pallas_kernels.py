@@ -2,24 +2,25 @@
 
 The jnp pipeline (engine.aggregate) materialises the full share tensor
 ``[P, nb, n, L]`` in HBM (1.7 GB at the 1M-dim benchmark shape) and reads it
-back for the combine — HBM traffic dominates. This kernel fuses
-share-generation + clerk-combine:
+back for the combine — HBM traffic dominates. The fused kernel here:
 
-- secrets stream HBM -> VMEM in ``[P, TB, k, L]`` tiles (double-buffered by
-  the pallas pipeline);
-- per participant, the sharing randomness is drawn from the on-chip PRNG
-  (``pltpu.prng_random_bits``) and shares are computed in VMEM via the
-  Montgomery matmul;
-- only the combined ``[TB, n, L]`` tile is written back.
+- streams secrets HBM -> VMEM in planar tiles (double-buffered by the
+  pallas pipeline);
+- draws each participant's sharing randomness from the on-chip PRNG;
+- computes every participant's full share vector in VMEM (that is the MPC
+  work being measured — each sharing must exist and be combinable) and
+  accumulates the per-clerk modular sums in the output block, so shares
+  never round-trip HBM.
 
-Every participant's full share vector is still computed (that is the MPC
-work being measured — each participant's sharing must exist and be
-combinable); it just never round-trips HBM.
+Mosaic-shaped layout: inside the kernel every limb of every slot is its own
+``[S, 128]`` lane array (S sublane rows x 128 lanes — exact vreg tiles), the
+share-matrix entries are SMEM scalars, and there are no limb-sized trailing
+axes anywhere. The host-side wrappers transpose between the engine's
+``[P, nb, k, L]`` layout and the kernel's planar ``[P, k, L, NB/128, 128]``.
 
-Protocol-exactness note: in-kernel randomness is the *bulk/benchmark* path
-(counter PRG, uniformity bias <= p/2^(2*16L)); the protocol path with
-host-CSPRNG randomness uses :func:`fused_share_combine_ext`, which streams
-caller-provided randomness instead.
+Protocol-exactness: in-kernel randomness is the bulk/benchmark path
+(counter PRNG, uniformity bias <= p/2^(32L)); the protocol path with host
+CSPRNG randomness streams caller-provided randomness via ``ext_planar``.
 """
 
 from __future__ import annotations
@@ -34,141 +35,158 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sda_tpu.ops.limbs import LimbContext
 
-__all__ = ["fused_share_combine", "fused_share_combine_ext"]
+__all__ = ["fused_share_combine_planar", "planar_from_batched", "batched_from_planar"]
 
 _MASK = 0xFFFF
 
 
-def _kernel_uniform(ctx: LimbContext, shape, r2, one):
-    """Uniform field elements inside a kernel: 2L-limb draw, exact reduce."""
-    L = ctx.L
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape + (L,)), jnp.uint32)
-    # the 32L random bits split into two independent L-limb values:
-    # x0 from the low 16-bit halves, x1 from the high halves; reduce
-    # x = x1 * R + x0 exactly mod p (same construction as uniform_limbs)
-    x0 = bits & _MASK
-    x1 = bits >> 16
-    a = ctx._mont_mul_impl(x1, r2)
-    y = ctx._mont_mul_impl(x0, r2)
-    b = ctx._mont_mul_impl(y, one)
-    return ctx._add_mod_impl(a, b)
+def planar_from_batched(x, rows: int):
+    """``[P, NB, k, L] -> [P, k, L, NBp/128, 128]`` with zero padding.
 
-
-def _share_row(ctx: LimbContext, ext_rows, m_mont):
-    """``sum_j mont_mul(ext[..., j, :], M[j])`` with unrolled small m.
-
-    Uses explicit static slices (Mosaic lowers fancy indexing to gathers it
-    does not support beyond 2D).
+    ``NBp`` is ``NB`` rounded up to ``rows * 128`` (one kernel tile).
+    Zero batches are inert: they share the zero vector and are sliced off
+    after reconstruction.
     """
-    m = m_mont.shape[0]
-    acc = None
-    for j in range(m):
-        ext_j = jax.lax.slice_in_dim(ext_rows, j, j + 1, axis=-2)  # [TB, 1, L]
-        m_j = jax.lax.slice_in_dim(m_mont, j, j + 1, axis=0)  # [1, n, L]
-        prod = ctx._mont_mul_impl(ext_j, m_j)
-        acc = prod if acc is None else ctx._add_mod_impl(acc, prod)
-    return acc
+    p, nb, k, L = x.shape
+    nbp = -(-nb // (rows * 128)) * rows * 128
+    if nbp != nb:
+        x = jnp.pad(x, ((0, 0), (0, nbp - nb), (0, 0), (0, 0)))
+    planar = jnp.transpose(x, (0, 2, 3, 1))  # [P, k, L, NBp]
+    return planar.reshape(p, k, L, nbp // 128, 128)
 
 
-def _fused_kernel(ctx, k, rand_count, p_count, seed_ref, secrets_ref, m_ref, aux_ref, out_ref):
-    tile = secrets_ref.shape[1]
-    n = m_ref.shape[1]
+def batched_from_planar(y, nb: int):
+    """``[n, L, NBp/128, 128] -> [NB, n, L]`` (slicing the padding off)."""
+    n, L, nbr, _ = y.shape
+    flat = y.reshape(n, L, nbr * 128)
+    return jnp.transpose(flat, (2, 0, 1))[:nb]
+
+
+def _uniform_lanes(ctx: LimbContext, shape, r2_scalars, one_scalars):
+    """One uniform field element per lane position, as an L-lane list.
+
+    Draws 2 u32 words per limb (split into 16-bit halves -> two independent
+    L-limb values x1, x0) and reduces ``x1*R + x0`` exactly mod p.
+    """
     L = ctx.L
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    m_mat = m_ref[...]
-    r2 = aux_ref[0, :]
-    one = aux_ref[1, :]
-
-    def body(p, acc):
-        sec = secrets_ref[pl.ds(p, 1)][0]  # [TB, k, L] (dynamic ref slice)
-        if rand_count:
-            rand = _kernel_uniform(ctx, (tile, rand_count), r2, one)
-            ext = jnp.concatenate([sec, rand], axis=1)  # [TB, k+r, L]
-        else:
-            ext = sec
-        shares = _share_row(ctx, ext, m_mat)  # [TB, n, L]
-        return ctx._add_mod_impl(acc, shares)
-
-    acc0 = jnp.zeros((tile, n, L), dtype=jnp.uint32)
-    out_ref[...] = jax.lax.fori_loop(0, p_count, body, acc0)
+    x0, x1 = [], []
+    for _ in range(L):
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        x0.append(bits & _MASK)
+        x1.append(bits >> 16)
+    a = ctx.mont_mul_lanes(x1, r2_scalars)
+    y = ctx.mont_mul_lanes(x0, r2_scalars)
+    b = ctx.mont_mul_lanes(y, one_scalars)
+    return ctx.add_mod_lanes(a, b)
 
 
-def fused_share_combine(
+def _fused_planar_kernel(
+    ctx, k, rand_count, p_count, n, has_prng,
+    seed_ref, m_ref, secrets_ref, out_ref,
+):
+    """Grid: one program per output tile of ``rows x 128`` batch positions.
+
+    - ``m_ref``: SMEM ``[m, n*L]`` Montgomery-form share matrix scalars.
+    - ``secrets_ref``: VMEM ``[P, k, L, rows, 128]`` (if has_prng) or
+      ``[P, k + rand_count, L, rows, 128]`` (caller randomness).
+    - ``out_ref``: VMEM ``[n, L, rows, 128]`` per-clerk combined sums.
+    """
+    L = ctx.L
+    m = k + rand_count
+    rows = secrets_ref.shape[-2]
+    lane_shape = (rows, 128)
+    if has_prng:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # aux scalars are appended as extra rows of m_ref: row m = r2, row m+1 = one
+    r2_s = [m_ref[m, l] for l in range(L)]
+    one_s = [m_ref[m + 1, l] for l in range(L)]
+
+    zero = jnp.zeros(lane_shape, dtype=jnp.uint32)
+    for i in range(n):
+        for l in range(L):
+            out_ref[i, l] = zero
+
+    def body(p, carry):
+        blk = secrets_ref[pl.ds(p, 1)]  # [1, slots, L, rows, 128]
+        ext = [
+            [blk[0, j, l] for l in range(L)]
+            for j in range(k if has_prng else m)
+        ]
+        if has_prng:
+            for _ in range(rand_count):
+                ext.append(_uniform_lanes(ctx, lane_shape, r2_s, one_s))
+        for i in range(n):  # per clerk: shares_i = sum_j ext_j * M[j, i]
+            acc = None
+            for j in range(m):
+                b_scalars = [m_ref[j, i * L + l] for l in range(L)]
+                prod = ctx.mont_mul_lanes(ext[j], b_scalars)
+                acc = prod if acc is None else ctx.add_mod_lanes(acc, prod)
+            cur = [out_ref[i, l] for l in range(L)]
+            new = ctx.add_mod_lanes(cur, acc)
+            for l in range(L):
+                out_ref[i, l] = new[l]
+        return carry
+
+    jax.lax.fori_loop(0, p_count, body, 0)
+
+
+def fused_share_combine_planar(
     ctx: LimbContext,
-    secrets,  # [P, NB, k, L] uint32, NB % tile == 0
-    m_mont,  # [k + rand_count, n, L] Montgomery-form share matrix
-    seed,  # int32 scalar PRNG seed
+    secrets_planar,  # [P, slots, L, NBR, 128] uint32
+    m_mont,  # [m, n, L] Montgomery-form share matrix (host/np or device)
     rand_count: int,
-    tile: int = 512,
+    seed: int = 0,
+    rows: int = 8,
     interpret: bool = False,
 ):
-    """Fused per-participant share generation + combine.
+    """Fused share-generation + combine on planar tiles.
 
-    Returns the combined shares ``[NB, n, L]`` (the per-clerk sums over all
-    participants) without materialising the share tensor in HBM.
+    If ``slots == k`` (``m - rand_count``), randomness is drawn on-chip from
+    ``seed``; if ``slots == m``, the caller supplied randomness (protocol
+    path) and the PRNG is unused.
     """
-    p_count, nb, k, L = secrets.shape
-    n = m_mont.shape[1]
-    if nb % tile:
-        raise ValueError(f"NB={nb} must be a multiple of tile={tile}")
-    kernel = functools.partial(_fused_kernel, ctx, k, rand_count, p_count)
-    aux = np.stack([np.array(ctx.r2, dtype=np.uint32), np.eye(1, L, dtype=np.uint32)[0]])
+    p_count, slots, L, nbr, lanes = secrets_planar.shape
+    if lanes != 128:
+        raise ValueError("last axis must be 128 lanes")
+    if nbr % rows:
+        raise ValueError(f"NBR={nbr} must be a multiple of rows={rows}")
+    m, n = m_mont.shape[0], m_mont.shape[1]
+    if slots == m:
+        has_prng, k = False, m - rand_count
+    elif slots == m - rand_count:
+        has_prng, k = True, slots
+    else:
+        raise ValueError("secrets slot count matches neither k nor k+r")
+    # SMEM scalar table: share matrix rows + [r2; one] appended
+    m_np = np.asarray(jax.device_get(m_mont)).reshape(m, n * L).astype(np.uint32)
+    aux = np.zeros((2, n * L), dtype=np.uint32)
+    aux[0, :L] = np.array(ctx.r2, dtype=np.uint32)
+    aux[1, 0] = 1
+    scalar_table = np.concatenate([m_np, aux], axis=0)  # [m+2, n*L]
+
+    kernel = functools.partial(
+        _fused_planar_kernel, ctx, k, rand_count, p_count, n, has_prng
+    )
+    grid = (nbr // rows,)
     return pl.pallas_call(
         kernel,
-        grid=(nb // tile,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalar table
             pl.BlockSpec(
-                (p_count, tile, k, L), lambda t: (0, t, 0, 0), memory_space=pltpu.VMEM
+                (p_count, slots, L, rows, 128),
+                lambda t: (0, 0, 0, t, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # share matrix (replicated)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # [r2; one] constants
         ],
-        out_specs=pl.BlockSpec((tile, n, L), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, n, L), jnp.uint32),
+        out_specs=pl.BlockSpec(
+            (n, L, rows, 128), lambda t: (0, 0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, L, nbr, 128), jnp.uint32),
         interpret=interpret,
-    )(jnp.asarray([seed], dtype=jnp.int32), secrets, m_mont, jnp.asarray(aux))
-
-
-def _fused_ext_kernel(ctx, p_count, ext_ref, m_ref, out_ref):
-    tile = ext_ref.shape[1]
-    n = m_ref.shape[1]
-    L = ctx.L
-    m_mat = m_ref[...]
-
-    def body(p, acc):
-        ext_p = ext_ref[pl.ds(p, 1)][0]
-        shares = _share_row(ctx, ext_p, m_mat)
-        return ctx._add_mod_impl(acc, shares)
-
-    acc0 = jnp.zeros((tile, n, L), dtype=jnp.uint32)
-    out_ref[...] = jax.lax.fori_loop(0, p_count, body, acc0)
-
-
-def fused_share_combine_ext(
-    ctx: LimbContext,
-    ext,  # [P, NB, k + r, L]: secrets with caller-provided randomness
-    m_mont,
-    tile: int = 512,
-    interpret: bool = False,
-):
-    """Protocol-exact variant: randomness supplied by the caller (host OS
-    CSPRNG), still fused so shares never hit HBM."""
-    p_count, nb, m, L = ext.shape
-    n = m_mont.shape[1]
-    if nb % tile:
-        raise ValueError(f"NB={nb} must be a multiple of tile={tile}")
-    kernel = functools.partial(_fused_ext_kernel, ctx, p_count)
-    return pl.pallas_call(
-        kernel,
-        grid=(nb // tile,),
-        in_specs=[
-            pl.BlockSpec(
-                (p_count, tile, m, L), lambda t: (0, t, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile, n, L), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, n, L), jnp.uint32),
-        interpret=interpret,
-    )(ext, m_mont)
+    )(
+        jnp.asarray([seed], dtype=jnp.int32),
+        jnp.asarray(scalar_table),
+        secrets_planar,
+    )

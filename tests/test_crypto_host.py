@@ -1,0 +1,142 @@
+"""Host crypto: sealed boxes, signatures, maskers, ChaCha bit-exactness."""
+
+import numpy as np
+import pytest
+
+from sda_tpu import sodium
+from sda_tpu.chacha import ChaChaRng, expand_masks, new_seed
+from sda_tpu.client.crypto import CryptoModule, Keystore
+from sda_tpu.client.store import MemoryStore
+from sda_tpu.fields import positive, trunc_mod
+from sda_tpu.masking import ChaChaMasker, FullMasker, NoneMasker
+from sda_tpu.utils.errors import Invalid
+
+
+# ------------------------------------------------------------------ sodium
+
+
+def test_sealed_box_roundtrip_and_tamper():
+    pk, sk = sodium.box_keypair()
+    msg = b"attack at dawn" * 10
+    boxed = sodium.seal(msg, pk)
+    assert sodium.seal_open(boxed, pk, sk) == msg
+    tampered = bytearray(boxed)
+    tampered[-1] ^= 1
+    with pytest.raises(Invalid):
+        sodium.seal_open(bytes(tampered), pk, sk)
+    with pytest.raises(Invalid):
+        sodium.seal_open(boxed[: sodium.SEALBYTES - 1], pk, sk)
+
+
+def test_sealed_box_anonymous_sender():
+    # two seals of the same message differ (ephemeral sender keys)
+    pk, sk = sodium.box_keypair()
+    assert sodium.seal(b"m", pk) != sodium.seal(b"m", pk)
+
+
+def test_sign_verify_detached():
+    vk, sk = sodium.sign_keypair()
+    sig = sodium.sign_detached(b"payload", sk)
+    assert sodium.verify_detached(sig, b"payload", vk)
+    assert not sodium.verify_detached(sig, b"payloae", vk)
+    other_vk, _ = sodium.sign_keypair()
+    assert not sodium.verify_detached(sig, b"payload", other_vk)
+    assert not sodium.verify_detached(b"short", b"payload", vk)
+
+
+def test_crypto_module_sign_export_verifies():
+    ks = Keystore(MemoryStore())
+    cm = CryptoModule(ks)
+    from sda_tpu.client import new_agent
+
+    agent = new_agent(ks)
+    key_id = cm.new_encryption_key()
+    signed = cm.sign_export(agent, key_id)
+    assert signed is not None
+    assert cm.signature_is_valid(agent, signed)
+    # claimed-signer mismatch raises (signing/mod.rs:111-113)
+    other = new_agent(Keystore(MemoryStore()))
+    with pytest.raises(Invalid):
+        cm.signature_is_valid(other, signed)
+
+
+# ------------------------------------------------------------------ chacha
+
+
+def test_chacha_zero_seed_known_vector():
+    """rand 0.3's ChaChaRng with an all-zero key is standard ChaCha20
+    (key=0, counter=0, nonce=0): the RFC/djb first-block keystream."""
+    rng = ChaChaRng([0] * 8)
+    first_four = [rng.next_u32() for _ in range(4)]
+    # djb test vector, first 16 bytes as LE u32s: ade0b876 903df1a0 e56a5d40 28bd8653
+    assert first_four == [0xADE0B876, 0x903DF1A0, 0xE56A5D40, 0x28BD8653]
+
+
+def test_chacha_counter_carry():
+    rng = ChaChaRng([1, 2, 3, 4])
+    # drain two blocks; stream must not repeat (counter increments)
+    b1 = [rng.next_u32() for _ in range(16)]
+    b2 = [rng.next_u32() for _ in range(16)]
+    assert b1 != b2
+
+
+def test_expand_masks_matches_scalar_rng():
+    seeds = [new_seed(128) for _ in range(5)]
+    batch = expand_masks(seeds, dimension=33, modulus=433)
+    for i, words in enumerate(seeds):
+        rng = ChaChaRng(words)
+        scalar = [rng.gen_range_i64(0, 433) for _ in range(33)]
+        assert batch[i].tolist() == scalar
+
+
+def test_gen_range_zone_semantics():
+    # identical seeds -> identical draws across instances
+    a, b = ChaChaRng([7] * 4), ChaChaRng([7] * 4)
+    assert [a.gen_range_i64(0, 10**12) for _ in range(8)] == [
+        b.gen_range_i64(0, 10**12) for _ in range(8)
+    ]
+
+
+# ----------------------------------------------------------------- masking
+
+
+def test_none_masker():
+    m = NoneMasker()
+    mask, masked = m.mask(np.array([1, 2, 3]))
+    assert len(mask) == 0 and masked.tolist() == [1, 2, 3]
+    assert m.combine([[], []]).tolist() == []
+    assert m.unmask((np.zeros(0, np.int64), masked)).tolist() == [1, 2, 3]
+    with pytest.raises(Invalid):
+        m.combine([[1]])
+
+
+def test_full_masker_roundtrip():
+    m = FullMasker(433)
+    secrets = np.array([0, 1, 432, 100])
+    mask, masked = m.mask(secrets)
+    assert (np.abs(masked) < 433).all()
+    out = m.unmask((mask, masked))
+    assert positive(out, 433).tolist() == [0, 1, 432, 100]
+
+
+def test_full_masker_aggregation_property():
+    # sum of masked minus sum of masks == sum of secrets (mod m)
+    m = FullMasker(433)
+    s1, s2 = np.array([1, 2, 3, 4]), np.array([10, 20, 30, 40])
+    k1, m1 = m.mask(s1)
+    k2, m2 = m.mask(s2)
+    masked_sum = trunc_mod(m1.astype(np.int64) + m2, 433)
+    combined_mask = m.combine([k1, k2])
+    out = m.unmask((combined_mask, masked_sum))
+    assert positive(out, 433).tolist() == [11, 22, 33, 44]
+
+
+def test_chacha_masker_uploads_seed_not_mask():
+    m = ChaChaMasker(modulus=433, dimension=50, seed_bitsize=128)
+    seed, masked = m.mask(np.arange(50))
+    assert len(seed) == 4  # 128 bits as u32 words, not 50 mask elements
+    combined = m.combine([seed])
+    out = m.unmask((combined, masked))
+    assert positive(out, 433).tolist() == list(range(50))
+    with pytest.raises(Invalid):
+        m.mask(np.arange(49))

@@ -7,7 +7,6 @@ import jax
 import jax.numpy as jnp
 
 from sda_tpu.engine import TpuAggregationEngine
-from sda_tpu.ops.pallas_kernels import fused_share_combine_ext
 from sda_tpu.sharing import AdditiveScheme, PackedShamirScheme
 
 REF = dict(
@@ -39,7 +38,7 @@ def test_fused_matches_unfused(scheme, rng):
     ext = jnp.concatenate([enc, rand], axis=2)
 
     golden = engine.reconstruct(engine.combine(engine.share(ext)))
-    fused = engine.aggregate_fused_ext(ext, tile=8, interpret=True)
+    fused = engine.aggregate_fused_ext(ext, rows=1, interpret=True)
     assert np.array_equal(np.asarray(golden), np.asarray(fused))
     expect = [int(sum(secrets[i][j] for i in range(p_count))) % modulus for j in range(d)]
     assert [int(x) for x in engine.decode_output(np.asarray(fused))] == expect
@@ -53,15 +52,30 @@ def test_fused_tile_padding(rng):
     enc = jnp.asarray(engine.encode_secrets(secrets))
     rand = jnp.asarray(engine.random_ext(3, rng=rng))
     ext = jnp.concatenate([enc, rand], axis=2)
-    fused = engine.aggregate_fused_ext(ext, tile=8, interpret=True)
+    fused = engine.aggregate_fused_ext(ext, rows=1, interpret=True)
     expect = [int(sum(secrets[i][j] for i in range(3))) % 433 for j in range(10)]
     assert [int(x) for x in engine.decode_output(np.asarray(fused))] == expect
 
 
-def test_fused_rejects_bad_tile():
+def test_fused_prng_variant_reveals_sum(rng):
+    """On-chip-randomness variant: different randomness, same reveal."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("pltpu PRNG primitives have no CPU interpret lowering")
+    scheme = PackedShamirScheme(**REF)
+    engine = TpuAggregationEngine(scheme.device_spec(), 9)
+    secrets = np.array([[int(rng.integers(0, 433)) for _ in range(9)] for _ in range(4)], dtype=object)
+    enc = jnp.asarray(engine.encode_secrets(secrets))
+    fused = engine.aggregate_fused(enc, seed=42, rows=1, interpret=True)
+    expect = [int(sum(secrets[i][j] for i in range(4))) % 433 for j in range(9)]
+    assert [int(x) for x in engine.decode_output(np.asarray(fused))] == expect
+
+
+def test_fused_rejects_bad_shapes():
     scheme = PackedShamirScheme(**REF)
     engine = TpuAggregationEngine(scheme.device_spec(), 12)
-    from sda_tpu.ops.pallas_kernels import fused_share_combine_ext as f
+    from sda_tpu.ops.pallas_kernels import fused_share_combine_planar as f
 
-    with pytest.raises(ValueError):
-        f(engine.ctx, jnp.zeros((2, 6, 7, 2), jnp.uint32), engine.share_mat, tile=4)
+    with pytest.raises(ValueError):  # last axis must be 128
+        f(engine.ctx, jnp.zeros((2, 7, 2, 1, 64), jnp.uint32), engine.share_mat, 4)
+    with pytest.raises(ValueError):  # slot count mismatch
+        f(engine.ctx, jnp.zeros((2, 5, 2, 1, 128), jnp.uint32), engine.share_mat, 4)
