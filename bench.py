@@ -40,18 +40,25 @@ def _bench_device(dimension: int, participants: int, warmup: int = 1, iters: int
 
     secrets = make_secrets(jax.random.key(7))
     secrets.block_until_ready()
-    key = jax.random.key(0)
 
-    fn = model.engine.aggregate_from_key
-    out = fn(secrets, key)
+    # fused Pallas path (share generation + combine without HBM round trips)
+    def fn(seed):
+        return model.engine.aggregate_fused(secrets, seed=seed, rows=8)
+
+    out = fn(0)
     out.block_until_ready()  # compile + warmup
     for _ in range(warmup):
-        fn(secrets, key).block_until_ready()
+        fn(1).block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(secrets, key)
+        out = fn(2)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
+
+    # cross-check the reveal against the unfused jnp pipeline
+    ref = model.engine.aggregate_from_key(secrets, jax.random.key(0))
+    if not bool(jnp.array_equal(out, ref)):
+        raise AssertionError("fused/unfused reveal mismatch")
     return dt, model
 
 
