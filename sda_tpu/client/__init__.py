@@ -46,12 +46,25 @@ def new_agent(keystore: Keystore) -> proto.Agent:
 
 
 class SdaClient:
-    """Primary object for interacting with an SDA service (lib.rs:39-56)."""
+    """Primary object for interacting with an SDA service (lib.rs:39-56).
 
-    def __init__(self, agent: proto.Agent, keystore: Keystore, service: SdaService):
+    ``device_bulk_threshold``: when set, clerk-side combines with at least
+    that many field elements run on the accelerator via
+    :func:`sda_tpu.engine.device_combine` (the reference's clerk FIXME about
+    an accumulating combiner, clerk.rs:71-72, answered with hardware).
+    """
+
+    def __init__(
+        self,
+        agent: proto.Agent,
+        keystore: Keystore,
+        service: SdaService,
+        device_bulk_threshold: int | None = None,
+    ):
         self.agent = agent
         self.crypto = CryptoModule(keystore)
         self.service = service
+        self.device_bulk_threshold = device_bulk_threshold
 
     # ------------------------------------------------------- maintenance
 
@@ -179,8 +192,19 @@ class SdaClient:
         )
         share_vectors = [decryptor.decrypt(e) for e in job.encryptions]
 
-        combiner = self.crypto.new_share_combiner(aggregation.committee_sharing_scheme)
-        combined = combiner.combine(share_vectors)
+        total_elements = sum(len(v) for v in share_vectors)
+        if (
+            self.device_bulk_threshold is not None
+            and total_elements >= self.device_bulk_threshold
+            and share_vectors
+            and aggregation.modulus < (1 << 63)
+        ):
+            from sda_tpu.engine import device_combine
+
+            combined = device_combine(aggregation.modulus, share_vectors)
+        else:
+            combiner = self.crypto.new_share_combiner(aggregation.committee_sharing_scheme)
+            combined = combiner.combine(share_vectors)
 
         recipient_key = self._verified_encryption_key(
             aggregation.recipient, aggregation.recipient_key

@@ -27,7 +27,23 @@ from sda_tpu.ops.limbs import LimbContext
 from sda_tpu.ops.modmat import combine, modmat, uniform_limbs
 from sda_tpu.sharing import DeviceSchemeSpec
 
-__all__ = ["TpuAggregationEngine"]
+__all__ = ["TpuAggregationEngine", "device_combine"]
+
+
+def device_combine(modulus: int, share_vectors) -> np.ndarray:
+    """Bulk clerk combine on the accelerator.
+
+    Clerk-side modular sum of many participants' share vectors
+    (the clerk.rs:84-86 hot loop). Returns canonical ``[0, p)`` values —
+    protocol-equivalent to the reference's signed fold (representatives may
+    differ; reveal-side ``positive()`` agrees). Odd or even modulus, any
+    width below 2**63 on the int64 fast path.
+    """
+    mats = np.stack([np.asarray(v, dtype=np.int64) for v in share_vectors])
+    ctx = LimbContext.create_add_only(modulus)
+    limbs = jnp.asarray(ctx.encode_i64(mats))
+    summed = ctx.sum_mod(limbs, axis=0)
+    return ctx.decode_i64(np.asarray(summed))
 
 
 class TpuAggregationEngine:

@@ -77,12 +77,26 @@ class FullMasker:
 
 
 class ChaChaMasker:
-    """Seed-compressed masking (chacha.rs): upload the PRG seed, not the mask."""
+    """Seed-compressed masking (chacha.rs): upload the PRG seed, not the mask.
 
-    def __init__(self, modulus: int, dimension: int, seed_bitsize: int):
+    ``device_bulk_threshold``: when set and ``participants * dimension``
+    reaches it, :meth:`combine` expands seeds on the accelerator
+    (:mod:`sda_tpu.ops.chacha_kernel`), falling back to the exact host path
+    for the (astronomically rare) seeds whose streams hit a gen_range
+    rejection — the result is bit-identical either way.
+    """
+
+    def __init__(
+        self,
+        modulus: int,
+        dimension: int,
+        seed_bitsize: int,
+        device_bulk_threshold: int | None = None,
+    ):
         self.modulus = modulus
         self.dimension = dimension
         self.seed_bitsize = seed_bitsize
+        self.device_bulk_threshold = device_bulk_threshold
 
     def mask(self, secrets):
         secrets = np.asarray(secrets)
@@ -98,9 +112,20 @@ class ChaChaMasker:
         seeds = [np.asarray(s, dtype=np.int64) for s in seeds_as_i64]
         if not seeds:
             return np.zeros(self.dimension, dtype=np.int64)
-        # re-expand every participant's seed and fold (chacha.rs:60-75);
-        # expansion is vectorised over participants (the recipient hot path)
+        # re-expand every participant's seed and fold (chacha.rs:60-75)
         word_lists = [[int(np.uint32(w)) for w in s] for s in seeds]
+        if (
+            self.device_bulk_threshold is not None
+            and len(seeds) * self.dimension >= self.device_bulk_threshold
+            and self.modulus % 2 == 1
+        ):
+            from sda_tpu.ops.chacha_kernel import combine_masks_device
+
+            combined, bad = combine_masks_device(word_lists, self.dimension, self.modulus)
+            if not bad:
+                return np.array([int(x) for x in combined], dtype=np.int64)
+            # exact-but-slow host fix-up for seeds whose stream hit a
+            # gen_range rejection: redo everything host-side (rare)
         masks = chacha.expand_masks(word_lists, self.dimension, self.modulus)
         acc = np.zeros(self.dimension, dtype=np.int64)
         for row in masks:

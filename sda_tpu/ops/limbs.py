@@ -109,6 +109,23 @@ class LimbContext:
             r_mod_p=tuple(int(x) for x in to_limbs([R % p], L)[0]),
         )
 
+    @classmethod
+    def create_add_only(cls, p: int, L: int | None = None) -> "LimbContext":
+        """Context for add/sub/sum only: works for even moduli too (the
+        additive scheme allows any group order; Montgomery needs odd)."""
+        if p % 2 == 1:
+            return cls.create(p, L)
+        if L is None:
+            L = limbs_for_modulus(p)
+        return cls(
+            p=p,
+            L=L,
+            p_limbs=tuple(int(x) for x in to_limbs([p], L)[0]),
+            p_inv_w=0,  # mont ops are invalid for even p; add/sub never use it
+            r2=(0,) * L,
+            r_mod_p=tuple(int(x) for x in to_limbs([(1 << (_W * L)) % p], L)[0]),
+        )
+
     # ------------------------------------------------------------- helpers
 
     def _p_vec(self, like):
@@ -199,6 +216,17 @@ class LimbContext:
 
     def mont_mul_lanes(self, av, bv):
         """Lane-list CIOS Montgomery product (see :meth:`mont_mul`)."""
+        T = self.mont_mul_lanes_raw(av, bv)
+        return self._cond_sub(T[: self.L], T[self.L])
+
+    def mont_mul_lanes_raw(self, av, bv):
+        """CIOS product WITHOUT the final conditional subtract.
+
+        Returns ``L + 1`` lane columns representing a value < 2p (the top
+        column is 0 or 1). Useful for redundant accumulation: columns of
+        many raw products can be summed with plain u32 adds (no carries)
+        for up to 2^15 terms before one renormalisation.
+        """
         L = self.L
         zero = jnp.zeros_like(av[0])
         T = [zero] * (L + 2)
@@ -224,8 +252,8 @@ class LimbContext:
             T[L - 1] = t & _MASK
             T[L] = T[L + 1] + (t >> _W)
             T[L + 1] = zero
-        # result in T[0..L], < 2p: one conditional subtract
-        return self._cond_sub(T[:L], T[L])
+        # raw result in T[0..L]: value < 2p, top column in {0, 1}
+        return T[: L + 1]
 
     def to_mont(self, a):
         """Normal -> Montgomery domain (multiply by R via r2 constant)."""
@@ -279,6 +307,26 @@ class LimbContext:
     def decode(self, limb_array) -> np.ndarray:
         """Host: device limb array -> object array of canonical ints."""
         return from_limbs(np.asarray(limb_array))
+
+    def encode_i64(self, values: np.ndarray) -> np.ndarray:
+        """Vectorised int64 fast path (p < 2**63): canonical ints -> limbs."""
+        if self.p >= (1 << 63):
+            raise ValueError("encode_i64 requires a modulus below 2**63")
+        arr = np.asarray(values, dtype=np.int64) % self.p
+        out = np.empty(arr.shape + (self.L,), dtype=np.uint32)
+        for j in range(self.L):
+            out[..., j] = ((arr >> (16 * j)) & 0xFFFF).astype(np.uint32)
+        return out
+
+    def decode_i64(self, limb_array) -> np.ndarray:
+        """Vectorised limbs -> int64 (p < 2**63)."""
+        if self.p >= (1 << 63):
+            raise ValueError("decode_i64 requires a modulus below 2**63")
+        arr = np.asarray(limb_array).astype(np.int64)
+        out = np.zeros(arr.shape[:-1], dtype=np.int64)
+        for j in reversed(range(self.L)):
+            out = (out << 16) | arr[..., j]
+        return out
 
 
 # Jit-cached entry points (self is static: LimbContext is a frozen dataclass).

@@ -82,14 +82,23 @@ def _uniform_lanes(ctx: LimbContext, shape, r2_scalars, one_scalars):
 
 def _fused_planar_kernel(
     ctx, k, rand_count, p_count, n, has_prng,
-    seed_ref, m_ref, secrets_ref, out_ref,
+    seed_ref, m_ref, secrets_ref, out_ref, acc_ref,
 ):
     """Grid: one program per output tile of ``rows x 128`` batch positions.
 
-    - ``m_ref``: SMEM ``[m, n*L]`` Montgomery-form share matrix scalars.
+    - ``m_ref``: SMEM ``[m + 2, n*L]`` Montgomery-form share matrix scalars
+      (plus the r2 / one constant rows).
     - ``secrets_ref``: VMEM ``[P, k, L, rows, 128]`` (if has_prng) or
       ``[P, k + rand_count, L, rows, 128]`` (caller randomness).
     - ``out_ref``: VMEM ``[n, L, rows, 128]`` per-clerk combined sums.
+    - ``acc_ref``: VMEM scratch ``[n, L+1, rows, 128]`` redundant accumulator.
+
+    Redundant accumulation: per-participant share products are kept RAW
+    (mont output < 2p, L+1 limb columns) and summed with plain u32 adds —
+    column magnitudes stay below ``P * m * 2^16`` (the wrapper enforces
+    ``P * m < 2^15``) — then each clerk's column sum is renormalised once
+    per tile: carry-propagate, split V = V_hi * R + V_lo, and reduce with
+    three Montgomery multiplies.
     """
     L = ctx.L
     m = k + rand_count
@@ -97,14 +106,14 @@ def _fused_planar_kernel(
     lane_shape = (rows, 128)
     if has_prng:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    # aux scalars are appended as extra rows of m_ref: row m = r2, row m+1 = one
+    # aux scalars appended as extra rows of m_ref: row m = r2, row m+1 = one
     r2_s = [m_ref[m, l] for l in range(L)]
     one_s = [m_ref[m + 1, l] for l in range(L)]
 
     zero = jnp.zeros(lane_shape, dtype=jnp.uint32)
     for i in range(n):
-        for l in range(L):
-            out_ref[i, l] = zero
+        for c in range(L + 1):
+            acc_ref[i, c] = zero
 
     def body(p, carry):
         blk = secrets_ref[pl.ds(p, 1)]  # [1, slots, L, rows, 128]
@@ -119,15 +128,30 @@ def _fused_planar_kernel(
             acc = None
             for j in range(m):
                 b_scalars = [m_ref[j, i * L + l] for l in range(L)]
-                prod = ctx.mont_mul_lanes(ext[j], b_scalars)
-                acc = prod if acc is None else ctx.add_mod_lanes(acc, prod)
-            cur = [out_ref[i, l] for l in range(L)]
-            new = ctx.add_mod_lanes(cur, acc)
-            for l in range(L):
-                out_ref[i, l] = new[l]
+                raw = ctx.mont_mul_lanes_raw(ext[j], b_scalars)  # L+1 columns
+                acc = raw if acc is None else [a + r for a, r in zip(acc, raw)]
+            for c in range(L + 1):
+                acc_ref[i, c] = acc_ref[i, c] + acc[c]
         return carry
 
     jax.lax.fori_loop(0, p_count, body, 0)
+
+    # renormalise each clerk's redundant column sum into canonical limbs
+    for i in range(n):
+        carry = zero
+        limbs = []
+        for c in range(L + 1):
+            t = acc_ref[i, c] + carry
+            limbs.append(t & _MASK)
+            carry = t >> 16
+        v_lo = limbs[:L]
+        v_hi = [limbs[L], carry] + [zero] * (L - 2)
+        a = ctx.mont_mul_lanes(v_hi, r2_s)  # V_hi * R mod p
+        y = ctx.mont_mul_lanes(v_lo, r2_s)  # V_lo * R mod p
+        b = ctx.mont_mul_lanes(y, one_s)  # V_lo mod p
+        out = ctx.add_mod_lanes(a, b)
+        for l in range(L):
+            out_ref[i, l] = out[l]
 
 
 def fused_share_combine_planar(
@@ -145,6 +169,7 @@ def fused_share_combine_planar(
     ``seed``; if ``slots == m``, the caller supplied randomness (protocol
     path) and the PRNG is unused.
     """
+    interpret = interpret or jax.default_backend() == "cpu"
     p_count, slots, L, nbr, lanes = secrets_planar.shape
     if lanes != 128:
         raise ValueError("last axis must be 128 lanes")
@@ -157,6 +182,11 @@ def fused_share_combine_planar(
         has_prng, k = True, slots
     else:
         raise ValueError("secrets slot count matches neither k nor k+r")
+    if p_count * m >= (1 << 15):
+        raise ValueError(
+            "participants * scheme_size must stay below 2^15 per kernel pass "
+            "(redundant-accumulation bound); chunk the participant axis"
+        )
     # SMEM scalar table: share matrix rows + [r2; one] appended
     m_np = np.asarray(jax.device_get(m_mont)).reshape(m, n * L).astype(np.uint32)
     aux = np.zeros((2, n * L), dtype=np.uint32)
@@ -184,6 +214,7 @@ def fused_share_combine_planar(
             (n, L, rows, 128), lambda t: (0, 0, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, L, nbr, 128), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((n, L + 1, rows, 128), jnp.uint32)],
         interpret=interpret,
     )(
         jnp.asarray([seed], dtype=jnp.int32),

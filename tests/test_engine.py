@@ -110,3 +110,52 @@ def test_sharded_pipeline_matches_single_device(rng):
     assert got_single == got_sharded
     expect = [int(sum(secrets[i][j] for i in range(p_count))) % 433 for j in range(d)]
     assert got_sharded == expect
+
+
+def test_device_combine_matches_host(rng):
+    from sda_tpu.engine import device_combine
+    from sda_tpu.fields import positive
+    from sda_tpu.sharing import AdditiveScheme
+
+    # odd and even moduli, signed inputs
+    for modulus in (433, 1 << 16, (1 << 61) - 1):
+        vecs = [rng.integers(-(modulus - 1), modulus, size=37) for _ in range(9)]
+        got = device_combine(modulus, vecs)
+        expect = positive(
+            AdditiveScheme(share_count=9, modulus=modulus).combine(vecs), modulus
+        )
+        assert [int(x) for x in got] == [int(x) for x in expect]
+        assert all(0 <= int(x) < modulus for x in got)
+
+
+def test_client_device_bulk_combine_full_loop(rng):
+    """Full protocol loop with clerks combining on the accelerator."""
+    import numpy as np
+    from tests.fixtures import make_client, with_service
+    from tests.test_full_loop import CONFIGS, agg_default
+
+    with with_service("memory") as service:
+        recipient = make_client(service)
+        rkey = recipient.new_encryption_key()
+        recipient.upload_agent()
+        recipient.upload_encryption_key(rkey)
+        agg = agg_default(recipient.agent.id, rkey, **CONFIGS["with_packedshamir"])
+        recipient.upload_aggregation(agg)
+        clerks = [make_client(service) for _ in range(8)]
+        for c in clerks:
+            k = c.new_encryption_key()
+            c.upload_agent()
+            c.upload_encryption_key(k)
+            c.device_bulk_threshold = 1  # force the device combine path
+        recipient.device_bulk_threshold = 1
+        recipient.begin_aggregation(agg.id)
+        for _ in range(2):
+            p = make_client(service)
+            p.upload_agent()
+            p.participate(np.array([1, 2, 3, 4]), agg.id)
+        recipient.end_aggregation(agg.id)
+        recipient.run_chores(-1)
+        for c in clerks:
+            c.run_chores(-1)
+        out = recipient.reveal_aggregation(agg.id)
+        assert out.positive().values.tolist() == [2, 4, 6, 8]

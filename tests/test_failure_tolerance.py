@@ -1,0 +1,147 @@
+"""Protocol failure tolerance: clerk dropout, retries, idempotence.
+
+The packed-Shamir scheme tolerates ``share_count - (t + k)`` missing clerks
+(crypto.rs:147-153); ``result_ready`` fires at the reconstruction threshold,
+not full participation (server.rs:119-121); participation retries are
+idempotent via client-generated ids (resources.rs:93-101).
+"""
+
+import numpy as np
+import pytest
+
+from sda_tpu import protocol as proto
+from sda_tpu.utils.errors import Invalid
+
+from .fixtures import make_client, with_service
+from .test_full_loop import CONFIGS, agg_default
+
+
+def test_clerk_dropout_reveal_still_works():
+    """7 of 8 clerks respond (threshold = 7): reveal succeeds via the
+    Lagrange subset path."""
+    with with_service("memory") as service:
+        recipient = make_client(service)
+        rkey = recipient.new_encryption_key()
+        recipient.upload_agent()
+        recipient.upload_encryption_key(rkey)
+        agg = agg_default(recipient.agent.id, rkey, **CONFIGS["with_packedshamir"])
+        recipient.upload_aggregation(agg)
+
+        clerks = [make_client(service) for _ in range(8)]
+        for c in clerks:
+            k = c.new_encryption_key()
+            c.upload_agent()
+            c.upload_encryption_key(k)
+        recipient.begin_aggregation(agg.id)
+
+        for _ in range(2):
+            part = make_client(service)
+            part.upload_agent()
+            part.participate(np.array([1, 2, 3, 4]), agg.id)
+        recipient.end_aggregation(agg.id)
+
+        # committee members = first 8 candidates; find them and drop ONE
+        committee = service.get_committee(recipient.agent, agg.id)
+        members = [cid for cid, _ in committee.clerks_and_keys]
+        everyone = {c.agent.id: c for c in clerks + [recipient]}
+        responding = [everyone[cid] for cid in members][:-1]  # one dropout
+        for c in responding:
+            c.run_chores(-1)
+
+        status = recipient.service.get_aggregation_status(recipient.agent, agg.id)
+        snap = status.snapshots[0]
+        assert snap.number_of_clerking_results == 7
+        assert snap.result_ready is True  # threshold t+k = 7 (server.rs:119-121)
+
+        out = recipient.reveal_aggregation(agg.id)
+        assert out.positive().values.tolist() == [2, 4, 6, 8]
+
+
+def test_too_many_dropouts_not_ready():
+    with with_service("memory") as service:
+        recipient = make_client(service)
+        rkey = recipient.new_encryption_key()
+        recipient.upload_agent()
+        recipient.upload_encryption_key(rkey)
+        agg = agg_default(recipient.agent.id, rkey, **CONFIGS["with_packedshamir"])
+        recipient.upload_aggregation(agg)
+        clerks = [make_client(service) for _ in range(8)]
+        for c in clerks:
+            k = c.new_encryption_key()
+            c.upload_agent()
+            c.upload_encryption_key(k)
+        recipient.begin_aggregation(agg.id)
+        part = make_client(service)
+        part.upload_agent()
+        part.participate(np.array([1, 2, 3, 4]), agg.id)
+        recipient.end_aggregation(agg.id)
+
+        committee = service.get_committee(recipient.agent, agg.id)
+        members = [cid for cid, _ in committee.clerks_and_keys]
+        everyone = {c.agent.id: c for c in clerks + [recipient]}
+        for cid in members[:6]:  # only 6 of 8 respond: below threshold 7
+            everyone[cid].run_chores(-1)
+        status = recipient.service.get_aggregation_status(recipient.agent, agg.id)
+        assert status.snapshots[0].result_ready is False
+        with pytest.raises(Invalid, match="not ready"):
+            recipient.reveal_aggregation(agg.id)
+
+
+def test_participation_retry_idempotent():
+    with with_service("jsondir") as service:
+        recipient = make_client(service)
+        rkey = recipient.new_encryption_key()
+        recipient.upload_agent()
+        recipient.upload_encryption_key(rkey)
+        agg = agg_default(recipient.agent.id, rkey)
+        recipient.upload_aggregation(agg)
+        clerks = [make_client(service) for _ in range(3)]
+        for c in clerks:
+            k = c.new_encryption_key()
+            c.upload_agent()
+            c.upload_encryption_key(k)
+        recipient.begin_aggregation(agg.id)
+
+        part = make_client(service)
+        part.upload_agent()
+        participation = part.new_participation(np.array([1, 2, 3, 4]), agg.id)
+        part.upload_participation(participation)
+        part.upload_participation(participation)  # network retry: same id
+        status = recipient.service.get_aggregation_status(recipient.agent, agg.id)
+        assert status.number_of_participations == 1
+
+
+def test_clerk_job_durable_until_result():
+    """Jobs stay pollable until a result is stored (clerking_jobs.rs:51-58)."""
+    with with_service("jsondir") as service:
+        recipient = make_client(service)
+        rkey = recipient.new_encryption_key()
+        recipient.upload_agent()
+        recipient.upload_encryption_key(rkey)
+        agg = agg_default(recipient.agent.id, rkey)
+        recipient.upload_aggregation(agg)
+        clerks = [make_client(service) for _ in range(3)]
+        for c in clerks:
+            k = c.new_encryption_key()
+            c.upload_agent()
+            c.upload_encryption_key(k)
+        recipient.begin_aggregation(agg.id)
+        part = make_client(service)
+        part.upload_agent()
+        part.participate(np.array([1, 2, 3, 4]), agg.id)
+        recipient.end_aggregation(agg.id)
+
+        committee = service.get_committee(recipient.agent, agg.id)
+        clerk_id = committee.clerks_and_keys[0][0]
+        everyone = {c.agent.id: c for c in clerks + [recipient]}
+        clerk = everyone[clerk_id]
+        # poll twice without pushing a result: same job returned (durable)
+        j1 = service.get_clerking_job(clerk.agent, clerk_id)
+        j2 = service.get_clerking_job(clerk.agent, clerk_id)
+        assert j1 is not None and j1.id == j2.id
+        # process + push: queue drains
+        result = clerk.process_clerking_job(j1)
+        service.create_clerking_result(clerk.agent, result)
+        assert service.get_clerking_job(clerk.agent, clerk_id) is None
+        # idempotent re-push after the move (retry after lost ack)
+        service.create_clerking_result(clerk.agent, result)
