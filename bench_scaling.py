@@ -40,8 +40,6 @@ def main() -> int:
             ).strip()
             jax.config.update("jax_platforms", "cpu")
 
-    import numpy as np
-
     from sda_tpu.engine import TpuAggregationEngine
     from sda_tpu.fields import find_prime_field
     from sda_tpu.parallel import ShardedAggregationPipeline, make_mesh

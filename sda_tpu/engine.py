@@ -16,7 +16,6 @@ large, and what the benchmark configs measure.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -117,6 +116,42 @@ class TpuAggregationEngine:
 
         self.aggregate_fused = _aggregate_fused
         self.aggregate_fused_ext = _aggregate_fused_ext
+
+        @partial(jax.jit, static_argnums=(2, 3))
+        def _fused_combined_only(x, seed, rows, interpret):
+            """One chunk -> combined shares in batched [nb, n, L] layout."""
+            from sda_tpu.ops.pallas_kernels import (
+                batched_from_planar,
+                fused_share_combine_planar,
+                planar_from_batched,
+            )
+
+            planar = planar_from_batched(x, rows)
+            out = fused_share_combine_planar(
+                ctx, planar, self.share_mat, spec.randomness_count,
+                seed=seed, rows=rows, interpret=interpret,
+            )
+            return batched_from_planar(out, self.nb)
+
+        def _aggregate_fused_streaming(chunks, seed0: int = 0, rows=8, interpret=False):
+            """Participant-streaming aggregation (BASELINE config 4 scale).
+
+            ``chunks``: iterable of ``[P_chunk, nb, k, L]`` secret tensors
+            (host arrays or device arrays, or callables ``f(i) -> tensor``
+            for device-side generation). The per-clerk combined sums
+            accumulate across chunks mod p, so the participation matrix
+            never needs to be HBM-resident at once.
+            """
+            acc = None
+            for i, chunk in enumerate(chunks):
+                x = chunk(i) if callable(chunk) else jnp.asarray(chunk)
+                part = _fused_combined_only(
+                    x, jnp.asarray(seed0 + i, dtype=jnp.int32), rows, interpret
+                )
+                acc = part if acc is None else ctx.add_mod(acc, part)
+            return self.reconstruct(acc)
+
+        self.aggregate_fused_streaming = _aggregate_fused_streaming
 
     # ------------------------------------------------------ host edges
 

@@ -14,8 +14,6 @@ All signed arithmetic uses Rust truncated remainders; values stay in
 
 from __future__ import annotations
 
-import secrets as _secrets
-
 import numpy as np
 
 from sda_tpu import chacha

@@ -12,8 +12,6 @@ stays on the host path in :mod:`sda_tpu.chacha`).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import jax
 import jax.numpy as jnp
 import numpy as np

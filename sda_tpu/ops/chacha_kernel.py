@@ -56,21 +56,24 @@ def _quarter(x, a, b, c, d):
     x[b] = _rotl(x[b] ^ x[c], 7)
 
 
-def _chacha_kernel(nblocks, key_ref, out_ref):
-    """One program per seed-tile: keystream for ``rows`` seeds x nblocks.
+def _chacha_kernel(block_tile, key_ref, out_ref):
+    """One program per (block-tile, seed-tile): ``block_tile`` keystream
+    blocks for ``rows`` x 128 seeds.
 
     - ``key_ref``: VMEM ``[8, rows, 128]`` key words (seed tile).
-    - ``out_ref``: VMEM ``[nblocks, 16, rows, 128]`` keystream words.
+    - ``out_ref``: VMEM ``[block_tile, 16, rows, 128]`` keystream words.
     """
     rows = key_ref.shape[1]
     lane = (rows, 128)
     key = [key_ref[w] for w in range(8)]
+    base = pl.program_id(0) * block_tile
 
     def block(b, carry):
         x = [jnp.full(lane, c, dtype=jnp.uint32) for c in _CONSTANTS]
         x += key
-        # 128-bit counter = block index (words 12..15); b < 2^31 here
-        x.append(jnp.full(lane, 0, dtype=jnp.uint32) + b.astype(jnp.uint32))
+        # 128-bit counter = global block index (words 12..15); < 2^31 here
+        counter = (base + b).astype(jnp.uint32)
+        x.append(jnp.full(lane, 0, dtype=jnp.uint32) + counter)
         x += [jnp.zeros(lane, dtype=jnp.uint32) for _ in range(3)]
         init = list(x)
         for _ in range(10):  # 20 rounds
@@ -86,13 +89,16 @@ def _chacha_kernel(nblocks, key_ref, out_ref):
             out_ref[b, w] = x[w] + init[w]
         return carry
 
-    jax.lax.fori_loop(0, nblocks, block, 0)
+    jax.lax.fori_loop(0, block_tile, block, 0)
 
 
-def chacha_keystream(seed_words, nblocks: int, rows: int = 8, interpret: bool = False):
+def chacha_keystream(seed_words, nblocks: int, rows: int = 8, block_tile: int = 32,
+                     interpret: bool = False):
     """Keystream for many seeds: ``[S, 8]`` u32 keys -> ``[S, nblocks, 16]``.
 
-    Seeds are padded to a multiple of ``rows * 128`` per kernel tile.
+    Seeds are padded to a multiple of ``rows * 128`` per kernel tile; the
+    block axis is tiled by ``block_tile`` to bound VMEM (a
+    ``[block_tile, 16, rows, 128]`` output block).
     """
     interpret = interpret or jax.default_backend() == "cpu"
     seeds = jnp.asarray(seed_words, dtype=jnp.uint32)
@@ -100,24 +106,27 @@ def chacha_keystream(seed_words, nblocks: int, rows: int = 8, interpret: bool = 
     sp = -(-s // (rows * 128)) * rows * 128
     if sp != s:
         seeds = jnp.pad(seeds, ((0, sp - s), (0, 0)))
+    nbp = -(-nblocks // block_tile) * block_tile
     # planar: [8, S/128, 128]
     planar = jnp.transpose(seeds, (1, 0)).reshape(8, sp // 128, 128)
-    kernel = functools.partial(_chacha_kernel, nblocks)
+    kernel = functools.partial(_chacha_kernel, block_tile)
     out = pl.pallas_call(
         kernel,
-        grid=(sp // (rows * 128),),
+        grid=(nbp // block_tile, sp // (rows * 128)),
         in_specs=[
-            pl.BlockSpec((8, rows, 128), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rows, 128), lambda tb, t: (0, t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nblocks, 16, rows, 128), lambda t: (0, 0, t, 0), memory_space=pltpu.VMEM
+            (block_tile, 16, rows, 128),
+            lambda tb, t: (tb, 0, t, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((nblocks, 16, sp // 128, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((nbp, 16, sp // 128, 128), jnp.uint32),
         interpret=interpret,
     )(planar)
-    # [nblocks, 16, S] -> [S, nblocks, 16]
-    words = out.reshape(nblocks, 16, sp)
-    return jnp.transpose(words, (2, 0, 1))[:s]
+    # [nbp, 16, S] -> [S, nblocks, 16]
+    words = out.reshape(nbp, 16, sp)
+    return jnp.transpose(words, (2, 0, 1))[:s, :nblocks]
 
 
 def _genrange_reduce(ctx: LimbContext, hi, lo):
@@ -145,26 +154,15 @@ def _genrange_reduce(ctx: LimbContext, hi, lo):
     return v4 + [zeros] * (L - 4)
 
 
-def expand_masks_device(seed_words, dimension: int, modulus: int, rows: int = 8,
-                        interpret: bool = False):
-    """Device mask expansion: ``[S]`` seeds -> (masks ``[S, d]`` i64-limb,
-    per-seed rejection counts ``[S]``).
-
-    Bit-exact with :func:`sda_tpu.chacha.expand_masks` for every seed whose
-    rejection count is zero (callers re-do the rare others on host).
-    """
-    if modulus % 2 == 0:
-        raise ValueError("device expansion requires an odd modulus")
-    ctx = LimbContext.create(modulus)
-    seeds = np.asarray(
-        [list(w) + [0] * (8 - len(w)) for w in seed_words], dtype=np.uint32
-    )
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _expand_masks_jit(ctx, dimension, rows, interpret, seeds):
     nblocks = -(-2 * dimension // 16)
     stream = chacha_keystream(seeds, nblocks, rows=rows, interpret=interpret)
     words = stream.reshape(seeds.shape[0], nblocks * 16)
     hi = words[:, 0::2][:, :dimension]
     lo = words[:, 1::2][:, :dimension]
     # rejection zone: v >= 2^64 - (2^64 mod m)  (rand 0.3 accept test)
+    modulus = ctx.p
     zone = ((1 << 64) - ((1 << 64) % modulus)) & ((1 << 64) - 1)
     zone_hi, zone_lo = np.uint32(zone >> 32), np.uint32(zone & 0xFFFFFFFF)
     rejected = (hi > zone_hi) | ((hi == zone_hi) & (lo >= zone_lo))
@@ -172,6 +170,25 @@ def expand_masks_device(seed_words, dimension: int, modulus: int, rows: int = 8,
     out_lanes = _genrange_reduce(ctx, hi, lo)
     masks = jnp.stack(out_lanes, axis=-1)  # [S, d, L] canonical limbs
     return masks, reject_counts
+
+
+def expand_masks_device(seed_words, dimension: int, modulus: int, rows: int = 8,
+                        interpret: bool = False):
+    """Device mask expansion: ``[S]`` seeds -> (masks ``[S, d]`` i64-limb,
+    per-seed rejection counts ``[S]``).
+
+    Bit-exact with :func:`sda_tpu.chacha.expand_masks` for every seed whose
+    rejection count is zero (callers re-do the rare others on host).
+    The full pipeline (kernel + reduction) runs as one jit program.
+    """
+    if modulus % 2 == 0:
+        raise ValueError("device expansion requires an odd modulus")
+    interpret = interpret or jax.default_backend() == "cpu"
+    ctx = LimbContext.create(modulus)
+    seeds = np.asarray(
+        [list(w) + [0] * (8 - len(w)) for w in seed_words], dtype=np.uint32
+    )
+    return _expand_masks_jit(ctx, dimension, rows, interpret, jnp.asarray(seeds))
 
 
 def combine_masks_device(seed_words, dimension: int, modulus: int, rows: int = 8,

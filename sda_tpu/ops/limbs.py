@@ -24,8 +24,6 @@ Share generation, reconstruction, and mask expansion all become chains of
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,8 +16,6 @@ All functions operate on ``[..., L]`` uint32 limb arrays (see
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,8 +17,6 @@ pod slice is a mesh-shape change, not a code change.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -39,7 +39,7 @@ device kernels in :mod:`sda_tpu.ops` consume them.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from functools import cached_property
 
 import numpy as np

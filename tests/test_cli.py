@@ -6,8 +6,6 @@ background HTTP server) through the exact walkthrough of
 ``0 2 2 4 4 6 6 8 8 10`` (README.md:157).
 """
 
-import os
-
 import pytest
 
 from sda_tpu.http.server import serve_background

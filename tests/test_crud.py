@@ -8,7 +8,7 @@ import pytest
 from sda_tpu import protocol as proto
 from sda_tpu.utils.errors import Invalid, InvalidCredentials, PermissionDenied
 
-from .fixtures import dummy_agent, dummy_signed_key, make_client, with_service
+from .fixtures import dummy_agent, dummy_signed_key, with_service
 
 BACKENDS = ["memory", "jsondir"]
 

@@ -7,7 +7,6 @@ import jax
 import jax.numpy as jnp
 
 from sda_tpu.engine import TpuAggregationEngine
-from sda_tpu.fields import PrimeField
 from sda_tpu.models import FederatedAggregation
 from sda_tpu.sharing import AdditiveScheme, PackedShamirScheme
 

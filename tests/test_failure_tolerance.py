@@ -9,7 +9,6 @@ idempotent via client-generated ids (resources.rs:93-101).
 import numpy as np
 import pytest
 
-from sda_tpu import protocol as proto
 from sda_tpu.utils.errors import Invalid
 
 from .fixtures import make_client, with_service

@@ -1,7 +1,6 @@
 """Field arithmetic: Rust remainder semantics, big-modulus paths, roots."""
 
 import numpy as np
-import pytest
 
 from sda_tpu.fields import PrimeField, element_order, find_prime_field, positive, trunc_mod
 

@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from sda_tpu.ops.limbs import LimbContext, from_limbs, limbs_for_modulus, to_limbs
-from sda_tpu.ops.modmat import combine, modmat, uniform_limbs
+from sda_tpu.ops.modmat import modmat, uniform_limbs
 
 MODULI = [
     433,  # reference test-vector field (L=2)

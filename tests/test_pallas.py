@@ -79,3 +79,22 @@ def test_fused_rejects_bad_shapes():
         f(engine.ctx, jnp.zeros((2, 7, 2, 1, 64), jnp.uint32), engine.share_mat, 4)
     with pytest.raises(ValueError):  # slot count mismatch
         f(engine.ctx, jnp.zeros((2, 5, 2, 1, 128), jnp.uint32), engine.share_mat, 4)
+
+
+def test_fused_streaming_matches_single_pass(rng):
+    """Chunked participant streaming equals the one-shot fused result."""
+    scheme = PackedShamirScheme(**REF)
+    engine = TpuAggregationEngine(scheme.device_spec(), 9)
+    secrets = np.array(
+        [[int(rng.integers(0, 433)) for _ in range(9)] for _ in range(6)], dtype=object
+    )
+    enc = jnp.asarray(engine.encode_secrets(secrets))
+    rand = jnp.asarray(engine.random_ext(6, rng=rng))
+    ext = jnp.concatenate([enc, rand], axis=2)
+    one_shot = engine.aggregate_fused_ext(ext, rows=1, interpret=True)
+    streamed = engine.aggregate_fused_streaming(
+        [ext[:2], ext[2:4], ext[4:]], rows=1, interpret=True
+    )
+    assert np.array_equal(np.asarray(one_shot), np.asarray(streamed))
+    expect = [int(sum(secrets[i][j] for i in range(6))) % 433 for j in range(9)]
+    assert [int(x) for x in engine.decode_output(np.asarray(streamed))] == expect

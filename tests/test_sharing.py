@@ -7,7 +7,7 @@ schemes (SURVEY.md §4.1) — correctness was only exercised end-to-end.
 import numpy as np
 import pytest
 
-from sda_tpu.fields import PrimeField, positive, trunc_mod
+from sda_tpu.fields import PrimeField, positive
 from sda_tpu.sharing import AdditiveScheme, PackedShamirScheme
 from sda_tpu.utils.errors import Invalid
 

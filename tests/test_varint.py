@@ -1,7 +1,6 @@
 """Varint codec: zigzag LEB128 wire format parity."""
 
 import numpy as np
-import pytest
 
 from sda_tpu.utils.varint import decode_varint, decode_varints, encode_varint, encode_varints
 
