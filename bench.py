@@ -3,7 +3,17 @@
 Headline metric: shared-vector aggregations/s at 1M dimension — the full
 device pipeline (packed-Shamir share generation for every participant,
 clerk combine across participants, recipient reconstruction) over a 64-bit
-prime field on the available accelerator.
+prime field on the available accelerator, using the fused MXU int8 kernels
+(sda_tpu/ops/mxu_kernel.py).
+
+Also reports the BASELINE.md config ladder to stderr:
+  config 2 — 1k-dim, 64-bit field, 100 participants (single pass)
+  config 3 — 10k-dim, 128-bit modulus (8x16-bit-limb Montgomery), 1k
+             participants (streamed in 64-participant passes)
+  config 4 — 1M-dim, 10k+ participants, participant-streaming (the
+             participation matrix never resides in HBM; inputs are
+             synthesised on device inside the timed loop, so the rate is
+             conservative)
 
 ``vs_baseline`` is the speedup against the host reference implementation
 (the numpy protocol layer in :mod:`sda_tpu.sharing`, measured on a scaled
@@ -20,7 +30,67 @@ import time
 import numpy as np
 
 
-def _bench_device(dimension: int, participants: int, warmup: int = 1, iters: int = 3):
+def _timeit(fn, iters: int, warmup: int = 1):
+    """Per-step device time via the JAX profiler.
+
+    Wall-clock timing lies on remote-tunnel TPU backends (dispatch RTT and
+    execution pipelining/caching distort both per-call and loop-and-block
+    measurements by >10x in either direction); the device trace records the
+    real execution span of every XLA module. Every iteration uses a fresh
+    seed so no execution can be served from any cache. Falls back to wall
+    clock when the trace has no device events (e.g. CPU backend).
+    """
+    import collections
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    out = fn(0)
+    jax.block_until_ready(out)
+    for i in range(warmup):
+        out = fn(1000 + i)
+    jax.block_until_ready(out)
+
+    d = tempfile.mkdtemp(prefix="sda_bench_trace_")
+    t0 = time.perf_counter()
+    with jax.profiler.trace(d):
+        for i in range(iters):
+            out = fn(2000 + i)
+        jax.block_until_ready(out)
+    wall = (time.perf_counter() - t0) / iters
+
+    device_us = 0.0
+    for tr in glob.glob(d + "/**/*.trace.json.gz", recursive=True):
+        with gzip.open(tr) as f:
+            data = json.load(f)
+        pids = {
+            e["pid"]: e["args"].get("name", "")
+            for e in data.get("traceEvents", [])
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+        }
+        for e in data.get("traceEvents", []):
+            if (
+                e.get("ph") == "X"
+                and "TPU" in str(pids.get(e.get("pid"), ""))
+                and str(e.get("name", "")).startswith("jit_")
+            ):
+                device_us += e.get("dur", 0)
+    dt = device_us / 1e6 / iters if device_us else wall
+    return dt, out
+
+
+def _fieldops(engine, participants):
+    """Montgomery-multiply-equivalent accounting for one aggregation step."""
+    spec = engine.spec
+    nb = engine.nb
+    m, n, k = spec.secret_count + spec.randomness_count, spec.share_count, spec.secret_count
+    return participants * nb * (2 * m * n) + participants * nb * n + nb * (2 * n * k)
+
+
+def _bench_headline(dimension: int, participants: int):
+    """Config-4 shape single pass: canonical secrets resident in HBM."""
     import jax
     import jax.numpy as jnp
 
@@ -29,37 +99,135 @@ def _bench_device(dimension: int, participants: int, warmup: int = 1, iters: int
 
     model = FederatedAggregation.packed_64bit(dimension=dimension)
     engine = model.engine
-    ctx = engine.ctx
-    spec = engine.spec
 
-    # generate the participation matrix on device (host->device transfer of a
-    # 0.5 GB tensor through the dev tunnel would dominate and measure nothing)
+    # generate the participation matrix on device (host->device transfer of
+    # a GB-scale tensor through the dev tunnel would dominate and measure
+    # nothing), then pre-pack to the kernels' compact int8 limb layout
     @jax.jit
     def make_secrets(key):
-        return uniform_limbs(ctx, key, (participants, engine.nb, spec.secret_count))
+        return uniform_limbs(
+            engine.ctx, key, (participants, engine.nb, engine.spec.secret_count)
+        )
 
     secrets = make_secrets(jax.random.key(7))
-    secrets.block_until_ready()
+    sec7 = jax.jit(lambda x: engine.planar7_secrets(x, 1024))(secrets)
+    sec7.block_until_ready()
 
-    # fused Pallas path (share generation + combine without HBM round trips)
-    def fn(seed):
-        return model.engine.aggregate_fused(secrets, seed=seed, rows=8)
-
-    out = fn(0)
-    out.block_until_ready()  # compile + warmup
-    for _ in range(warmup):
-        fn(1).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(2)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-
+    dt, out = _timeit(
+        lambda i: engine.aggregate_mxu_kernel(
+            sec7, jnp.asarray(i, dtype=jnp.int32), p_count=participants, lanes=1024
+        ),
+        iters=10,
+    )
     # cross-check the reveal against the unfused jnp pipeline
-    ref = model.engine.aggregate_from_key(secrets, jax.random.key(0))
+    ref = engine.aggregate_from_key(secrets, jax.random.key(0))
     if not bool(jnp.array_equal(out, ref)):
-        raise AssertionError("fused/unfused reveal mismatch")
+        raise AssertionError("MXU-kernel/jnp reveal mismatch")
     return dt, model
+
+
+def _bench_config2():
+    import jax
+    import jax.numpy as jnp
+
+    from sda_tpu.models import FederatedAggregation
+    from sda_tpu.ops.modmat import uniform_limbs
+
+    dimension, participants = 1002, 100
+    model = FederatedAggregation.packed_64bit(dimension=dimension)
+    engine = model.engine
+    secrets = jax.jit(
+        lambda k: uniform_limbs(engine.ctx, k, (participants, engine.nb, 3))
+    )(jax.random.key(1))
+    sec7 = jax.jit(lambda x: engine.planar7_secrets(x, 128))(secrets)
+    sec7.block_until_ready()
+    dt, _ = _timeit(
+        lambda i: engine.aggregate_mxu_kernel(
+            sec7, jnp.asarray(i, dtype=jnp.int32), p_count=participants, lanes=128
+        ),
+        iters=30,
+    )
+    print(
+        f"# config 2 (1k-dim, 64-bit, {participants} participants): "
+        f"{dt*1e3:.2f} ms/step, {participants/dt:.0f} aggregations/s, "
+        f"{_fieldops(engine, participants)/dt/1e9:.2f} Gfield-ops/s",
+        file=sys.stderr,
+    )
+
+
+def _bench_config3():
+    """128-bit modulus: 8x16-bit-limb Montgomery epilogue, 19 int8 limbs."""
+    import jax
+    import jax.numpy as jnp
+
+    from sda_tpu.models import FederatedAggregation
+    from sda_tpu.ops.modmat import uniform_limbs
+
+    dimension, p_chunk, n_chunks = 10_002, 64, 16  # 1,024 participants
+    model = FederatedAggregation.packed_128bit(dimension=dimension)
+    engine = model.engine
+    lanes = 256
+    secrets = jax.jit(
+        lambda k: uniform_limbs(engine.ctx, k, (p_chunk, engine.nb, 3))
+    )(jax.random.key(2))
+    sec7 = jax.jit(lambda x: engine.planar7_secrets(x, lanes))(secrets)
+    sec7.block_until_ready()
+
+    def step(i):
+        return engine.aggregate_mxu_kernel_streaming(
+            [sec7] * n_chunks, p_chunk, seed0=i, lanes=lanes
+        )
+
+    dt, _ = _timeit(step, iters=5)
+    total = p_chunk * n_chunks
+    print(
+        f"# config 3 (10k-dim, 128-bit modulus, {total} participants): "
+        f"{dt*1e3:.1f} ms/step, {total/dt:.0f} aggregations/s, "
+        f"{_fieldops(engine, total)/dt/1e9:.2f} Gfield-ops/s",
+        file=sys.stderr,
+    )
+
+
+def _bench_config4_streaming(dimension: int):
+    """10k+ participants at 1M-dim: the 80+ GB participation matrix streams
+    through the kernel in 128-participant chunks, synthesised on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from sda_tpu.models import FederatedAggregation
+
+    p_chunk, n_chunks = 64, 158  # 10,112 participants
+    model = FederatedAggregation.packed_64bit(dimension=dimension)
+    engine = model.engine
+    mxu = engine.mxu
+    lanes = 512
+    nbp = -(-engine.nb // lanes) * lanes
+    rows = p_chunk * engine.spec.secret_count * mxu.L7
+
+    def chunk(i):
+        # uniform 7-bit limbs = uniform values < 2^63; linearity makes the
+        # non-canonical representatives exact mod p downstream
+        bits = jax.random.bits(
+            jax.random.key(i), (rows, nbp), dtype=jnp.uint8
+        )
+        return (bits & 0x7F).astype(jnp.int8)
+
+    chunk_fn = jax.jit(chunk)
+
+    def step(i):
+        make = lambda j, base=i * n_chunks: chunk_fn(base + j)  # noqa: E731
+        return engine.aggregate_mxu_kernel_streaming(
+            [make] * n_chunks, p_chunk, seed0=i, lanes=lanes
+        )
+
+    dt, _ = _timeit(step, iters=2, warmup=0)
+    total = p_chunk * n_chunks
+    print(
+        f"# config 4 (1M-dim, {total} participants, streaming, incl. "
+        f"on-device input synthesis): {dt:.2f} s/step, "
+        f"{total/dt:.0f} aggregations/s sustained",
+        file=sys.stderr,
+    )
 
 
 def _bench_host_baseline(dimension: int, participants: int):
@@ -87,18 +255,17 @@ def _bench_host_baseline(dimension: int, participants: int):
 def main():
     dimension = 1_000_002  # divisible by secret_count=3
     participants = 32
-    dt, model = _bench_device(dimension, participants)
+    dt, model = _bench_headline(dimension, participants)
     aggs_per_s = participants / dt
-    # field-op accounting: share matmul (k+r)*n mont_muls + adds per batch row
-    spec = model.engine.spec
-    nb = model.engine.nb
-    m, n, k = spec.secret_count + spec.randomness_count, spec.share_count, spec.secret_count
-    fieldops = participants * nb * (2 * m * n) + participants * nb * n + nb * (2 * n * k)
+    fieldops = _fieldops(model.engine, participants)
     print(
-        f"# device: {dt*1e3:.1f} ms/step for {participants} x {dimension}-dim "
-        f"({aggs_per_s:.2f} aggregations/s, {fieldops/dt/1e9:.2f} Gfield-ops/s)",
+        f"# headline: {dt*1e3:.2f} ms/step for {participants} x {dimension}-dim "
+        f"({aggs_per_s:.0f} aggregations/s, {fieldops/dt/1e9:.2f} Gfield-ops/s)",
         file=sys.stderr,
     )
+    _bench_config2()
+    _bench_config3()
+    _bench_config4_streaming(dimension)
     host_dt = _bench_host_baseline(dimension, participants)
     print(f"# host-numpy baseline (extrapolated): {host_dt:.1f} s/step", file=sys.stderr)
     print(

@@ -24,6 +24,7 @@ import numpy as np
 
 from sda_tpu.ops.limbs import LimbContext
 from sda_tpu.ops.modmat import combine, modmat, uniform_limbs
+from sda_tpu.ops.mxu import MxuContext, mxu_modmat
 from sda_tpu.sharing import DeviceSchemeSpec
 
 __all__ = ["TpuAggregationEngine", "device_combine"]
@@ -152,6 +153,167 @@ class TpuAggregationEngine:
             return self.reconstruct(acc)
 
         self.aggregate_fused_streaming = _aggregate_fused_streaming
+
+        # ------------------------------------------------ MXU int8 path
+        # Fold share-gen + combine into one int8 systolic matmul (see
+        # sda_tpu/ops/mxu.py). Available for odd moduli wider than 7 bits.
+        self.mxu: MxuContext | None = None
+        if spec.modulus % 2 == 1 and spec.modulus.bit_length() > 7:
+            mxu = MxuContext.create(self.ctx)
+            self.mxu = mxu
+            L7 = mxu.L7
+            k_, r_, n_ = spec.secret_count, spec.randomness_count, spec.share_count
+            self._slots_raw = [L7] * k_ + [2 * L7] * r_
+            self._slots_can = [L7] * (k_ + r_)
+            self._big_raw = mxu.matrix_int8(spec.share_matrix, self._slots_raw)
+            self._big_can = mxu.matrix_int8(spec.share_matrix, self._slots_can)
+            self._cols_raw = mxu.out_cols(self._slots_raw)
+            self._cols_can = mxu.out_cols(self._slots_can)
+            big_cache: dict[tuple[str, int], jnp.ndarray] = {}
+
+            def _tiled_big(kind: str, p_count: int):
+                got = big_cache.get((kind, p_count))
+                if got is None:
+                    one = self._big_raw if kind == "raw" else self._big_can
+                    got = jnp.asarray(np.concatenate([one] * p_count, axis=0))
+                    big_cache[(kind, p_count)] = got
+                return got
+
+            @jax.jit
+            def _mxu_combined_from_key(secrets, key, big):
+                # secrets [P, nb, k, L16] -> per-clerk combined [nb, n, L16]
+                P = secrets.shape[0]
+                s7 = mxu.limbs7_from_16(secrets).reshape(P, self.nb, k_ * L7)
+                bits = jax.random.bits(
+                    key, (P, self.nb, r_, mxu.raw_words), dtype=jnp.uint32
+                )
+                r7 = mxu.raw_limbs(bits).reshape(P, self.nb, r_ * 2 * L7)
+                ext = jnp.concatenate([s7, r7], axis=-1)  # [P, nb, S]
+                extT = jnp.transpose(ext, (1, 0, 2)).reshape(self.nb, -1)
+                return mxu_modmat(mxu, extT, big, n_, self._cols_raw)
+
+            @jax.jit
+            def _mxu_combined_ext(ext, big):
+                # caller-randomness (canonical) path: ext [P, nb, k+r, L16]
+                P = ext.shape[0]
+                e7 = mxu.limbs7_from_16(ext).reshape(P, self.nb, (k_ + r_) * L7)
+                extT = jnp.transpose(e7, (1, 0, 2)).reshape(self.nb, -1)
+                return mxu_modmat(mxu, extT, big, n_, self._cols_can)
+
+            def _aggregate_mxu(secrets, key):
+                """MXU fast path: share+combine as one int8 matmul, then
+                reconstruct. Sharing randomness is drawn double-width raw
+                (bias <= 2^-(7*L7)); the protocol path with host-CSPRNG
+                randomness is :meth:`aggregate_mxu_ext`."""
+                big = _tiled_big("raw", secrets.shape[0])
+                return self.reconstruct(_mxu_combined_from_key(secrets, key, big))
+
+            def _aggregate_mxu_ext(ext):
+                big = _tiled_big("can", ext.shape[0])
+                return self.reconstruct(_mxu_combined_ext(ext, big))
+
+            def _aggregate_mxu_streaming(chunks, key):
+                """Participant-streaming MXU aggregation (config-4 scale):
+                per-chunk combined sums accumulate mod p across chunks."""
+                acc = None
+                for i, chunk in enumerate(chunks):
+                    x = chunk(i) if callable(chunk) else jnp.asarray(chunk)
+                    big = _tiled_big("raw", x.shape[0])
+                    part = _mxu_combined_from_key(
+                        x, jax.random.fold_in(key, i), big
+                    )
+                    acc = part if acc is None else ctx.add_mod(acc, part)
+                return self.reconstruct(acc)
+
+            self.mxu_combined_from_key = _mxu_combined_from_key
+            self.aggregate_mxu = _aggregate_mxu
+            self.aggregate_mxu_ext = _aggregate_mxu_ext
+            self.aggregate_mxu_streaming = _aggregate_mxu_streaming
+
+            # -------------------------------------- MXU Pallas kernels
+            # The fastest path: secrets stream as compact int8 limbs,
+            # randomness is drawn in VMEM, the share+combine runs on the
+            # systolic array, and reconstruction is a second tiny call of
+            # the same kernel (sda_tpu/ops/mxu_kernel.py).
+            from sda_tpu.ops.mxu_kernel import (
+                batched_from_planar16,
+                fused_share_combine_mxu,
+                planar7_from_batched,
+            )
+
+            def _planar7_secrets(secrets, lanes=1024):
+                """``[P, nb, k, L16] u32 -> [P*k*L7, NBP] int8`` (jit-safe)."""
+                return planar7_from_batched(mxu, secrets, lanes)
+
+            def _planar7_ext(ext, lanes=1024):
+                """Caller-randomness layout: ``[P, nb, k+r, L16] -> planar``."""
+                return planar7_from_batched(mxu, ext, lanes)
+
+            @partial(jax.jit, static_argnums=(2, 3))
+            def _kernel_step(sec7, seed, p_count, lanes):
+                comb7 = fused_share_combine_mxu(
+                    mxu, spec.share_matrix, sec7, p_count,
+                    k_, r_, seed=seed, lanes=lanes, out7=True,
+                )
+                rec = fused_share_combine_mxu(
+                    mxu, spec.reconstruct_matrix,
+                    comb7.reshape(-1, comb7.shape[-1]), 1, n_, 0, lanes=lanes,
+                )
+                return batched_from_planar16(rec, self.nb)
+
+            def _aggregate_mxu_kernel(sec7, seed, p_count, lanes=1024):
+                """Full pipeline on the MXU kernels: ``sec7`` from
+                :meth:`planar7_secrets`; returns ``[nb, k, L16]``."""
+                return _kernel_step(
+                    sec7, jnp.asarray(seed, dtype=jnp.int32), p_count, lanes
+                )
+
+            @partial(jax.jit, static_argnums=(2, 3))
+            def _kernel_combined(sec7, seed, p_count, lanes):
+                return fused_share_combine_mxu(
+                    mxu, spec.share_matrix, sec7, p_count,
+                    k_, r_, seed=seed, lanes=lanes, out7=False,
+                )
+
+            @jax.jit
+            def _add_mod_planar(a, b):  # [n, L16, NBP] u32 canonical
+                lanes = self.ctx.add_mod_lanes(
+                    [a[:, l] for l in range(self.ctx.L)],
+                    [b[:, l] for l in range(self.ctx.L)],
+                )
+                return jnp.stack(lanes, axis=1)
+
+            @partial(jax.jit, static_argnums=(1,))
+            def _reconstruct_planar16(comb16, lanes):
+                # [n, L16, NBP] u32 -> [nb, k, L16] via the MXU kernel
+                c7 = mxu.limbs7_from_16(jnp.moveaxis(comb16, 1, -1))
+                c7 = jnp.moveaxis(c7, -1, 1).reshape(-1, comb16.shape[-1])
+                rec = fused_share_combine_mxu(
+                    mxu, spec.reconstruct_matrix, c7, 1, n_, 0, lanes=lanes,
+                )
+                return batched_from_planar16(rec, self.nb)
+
+            def _aggregate_mxu_kernel_streaming(
+                chunks, p_chunk, seed0=0, lanes=1024
+            ):
+                """Config-4 scale: ``chunks`` yield ``[P_chunk*k*L7, NBP]``
+                planar secret tensors (or callables ``f(i)``); per-chunk
+                combined sums accumulate canonically mod p on device."""
+                acc = None
+                for i, chunk in enumerate(chunks):
+                    sec7 = chunk(i) if callable(chunk) else jnp.asarray(chunk)
+                    part = _kernel_combined(
+                        sec7, jnp.asarray(seed0 + 7919 * i, dtype=jnp.int32),
+                        p_chunk, lanes,
+                    )
+                    acc = part if acc is None else _add_mod_planar(acc, part)
+                return _reconstruct_planar16(acc, lanes)
+
+            self.planar7_secrets = _planar7_secrets
+            self.planar7_ext = _planar7_ext
+            self.aggregate_mxu_kernel = _aggregate_mxu_kernel
+            self.mxu_kernel_combined = _kernel_combined
+            self.aggregate_mxu_kernel_streaming = _aggregate_mxu_kernel_streaming
 
     # ------------------------------------------------------ host edges
 

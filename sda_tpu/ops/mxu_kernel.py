@@ -1,0 +1,294 @@
+"""Pallas kernel: fused share-generation + clerk-combine on the MXU.
+
+The third-generation hot path (after the jnp pipeline and the VPU/CIOS
+Pallas kernel in :mod:`sda_tpu.ops.pallas_kernels`). Built on two facts:
+
+1. The whole "multiply every participant's ext vector by the share matrix
+   and sum over participants" step is one integer matmul once field elements
+   are split into 7-bit int8 limbs (:mod:`sda_tpu.ops.mxu`) — systolic-array
+   work instead of O(2L²) u32 VPU multiplies per product.
+2. Sharing randomness drawn raw (double-width, bias ``<= 2^-(7·L7)``) needs
+   **no reduction at all**: the on-chip PRNG's words masked to 7 bits *are*
+   uniform raw limbs. Randomness is created in VMEM and consumed by the MXU
+   without ever existing in HBM.
+
+Memory traffic per step is therefore just the compact int8 secret limbs in
+and the canonical per-clerk sums out; the share tensor, the randomness, and
+the redundant int32 accumulators live only in VMEM/registers.
+
+Layout (transposed-planar): batch positions are *lanes*. Secrets arrive as
+``[P·k·L7, NBP]`` int8 (slot-major rows), the kernel tiles the lane axis,
+computes ``acc[N, T] = bigSᵀ @ sec_tile + bigRᵀ @ rand_tile`` with int32
+MXU accumulation, and renormalises each clerk's redundant base-2⁷ columns
+in-kernel (carry-propagate → canonical chunks → Montgomery fold, all on
+``[T]``-wide row vectors). Output: ``[n, L16, NBP]`` canonical u32 limbs.
+
+Reference hot loops this replaces: share generation batched.rs:19-52 /
+packed_shamir.rs:40-44 and the clerk combine combiner.rs:16-29.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sda_tpu.ops.limbs import LimbContext, to_limbs
+from sda_tpu.ops.mxu import MxuContext
+
+__all__ = [
+    "fused_share_combine_mxu",
+    "planar7_from_batched",
+    "batched_from_planar16",
+]
+
+_W7 = 7
+_MASK7 = (1 << _W7) - 1
+_W16 = 16
+_MASK16 = (1 << _W16) - 1
+
+
+def planar7_from_batched(mxu: MxuContext, x16, lanes: int):
+    """``[P, NB, s, L16] u32 -> [P*s*L7, NBP] int8`` transposed planar limbs.
+
+    ``NBP`` rounds ``NB`` up to a multiple of ``lanes`` (zero batches are
+    inert: they share the zero vector and are sliced off after
+    reconstruction). Row order is participant-major, then slot, then limb —
+    matching :func:`_big_rows`.
+    """
+    p, nb, s, _ = x16.shape
+    x7 = mxu.limbs7_from_16(x16)  # [P, NB, s, L7]
+    nbp = -(-nb // lanes) * lanes
+    if nbp != nb:
+        x7 = jnp.pad(x7, ((0, 0), (0, nbp - nb), (0, 0), (0, 0)))
+    return jnp.transpose(x7, (0, 2, 3, 1)).reshape(p * s * mxu.L7, nbp)
+
+
+def batched_from_planar16(y, nb: int):
+    """``[n, L16, NBP] -> [NB, n, L16]`` (slicing the lane padding off)."""
+    return jnp.transpose(y, (2, 0, 1))[:nb]
+
+
+def _big_rows(mxu: MxuContext, m_normal, slot_rows, in_limbs, cols: int, n_pad: int):
+    """Transposed ``bigMᵀ[N_pad, rows]`` int8 for the given slot subset.
+
+    ``slot_rows``: indices into ``m_normal`` rows, repeated participant-major
+    by the caller. ``in_limbs``: limb count per listed slot. Output columns
+    (acc rows) are ``(i, lo)``-major with stride ``cols`` (shared across the
+    secret and randomness matrices), padded to ``n_pad`` MXU-friendly rows.
+    """
+    from sda_tpu.ops.mxu import limbs7_host
+
+    m_normal = np.asarray(m_normal, dtype=object)
+    n = m_normal.shape[1]
+    if n * cols > n_pad:
+        raise ValueError("n_pad too small")
+    mlimbs = limbs7_host(m_normal, mxu.L7)  # [m, n, L7]
+    rows = sum(in_limbs)
+    big = np.zeros((n_pad, rows), dtype=np.int8)
+    row = 0
+    for j, limbs in zip(slot_rows, in_limbs):
+        for l1 in range(limbs):
+            if l1 + mxu.L7 > cols:
+                raise ValueError("cols too small for slot limb count")
+            for i in range(n):
+                for l2 in range(mxu.L7):
+                    big[i * cols + (l1 + l2), row] = mlimbs[j, i, l2]
+            row += 1
+    return big
+
+
+def _chunk_consts_u32(mxu: MxuContext, n_chunks: int) -> np.ndarray:
+    """SMEM table ``[n_chunks, L16]``: Montgomery-form ``2^(7·chunk·t)``."""
+    ctx = mxu.ctx
+    R = 1 << (_W16 * ctx.L)
+    vals = [(pow(2, _W7 * mxu.chunk * t, ctx.p) * R) % ctx.p for t in range(n_chunks)]
+    return to_limbs(np.array(vals, dtype=object), ctx.L).astype(np.uint32)
+
+
+def _mxu_fused_kernel(
+    mxu, n, cols, kr, n_chunks, out7,
+    seed_ref, consts_ref, bigs_ref, bigr_ref, sec_ref, out_ref,
+):
+    ctx = mxu.ctx
+    T = sec_ref.shape[-1]
+    acc = jax.lax.dot_general(
+        bigs_ref[...], sec_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    if kr:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        if kr % 4 == 0:
+            # 4 independent 7-bit limbs per PRNG word (28 of 32 bits used);
+            # bigr's columns are permuted host-side to match the block order
+            w = pltpu.bitcast(
+                pltpu.prng_random_bits((kr // 4, T)), jnp.uint32
+            )
+            rand = jnp.concatenate(
+                [((w >> s) & _MASK7).astype(jnp.int8) for s in (0, 7, 14, 21)],
+                axis=0,
+            )
+        else:
+            rand = (
+                pltpu.bitcast(pltpu.prng_random_bits((kr, T)), jnp.uint32)
+                & _MASK7
+            ).astype(jnp.int8)
+        acc = acc + jax.lax.dot_general(
+            bigr_ref[...], rand, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    # epilogue, vectorised over the clerk axis: every op below runs on
+    # [n, T] blocks (one instruction drives all clerks' lanes at once)
+    accu = acc[: n * cols].astype(jnp.uint32).reshape(n, cols, T)
+    zero = jnp.zeros((n, T), dtype=jnp.uint32)
+    # carry-propagate the redundant base-2^7 columns (carry < 2^25)
+    limbs, carry = [], zero
+    for c in range(cols):
+        t = accu[:, c, :] + carry
+        limbs.append(t & _MASK7)
+        carry = t >> _W7
+    for _ in range(4):  # residual carry < 2^25
+        limbs.append(carry & _MASK7)
+        carry = carry >> _W7
+    # canonical chunks of `chunk` limbs -> L16 lanes -> Montgomery fold
+    res = None
+    for t in range(n_chunks):
+        group = limbs[t * mxu.chunk : (t + 1) * mxu.chunk]
+        lanes16 = [zero] * ctx.L
+        for j, b in enumerate(group):
+            o = _W7 * j
+            w, sh = o // _W16, o % _W16
+            lanes16[w] = lanes16[w] | ((b << sh) & _MASK16)
+            if sh + _W7 > _W16 and w + 1 < ctx.L:
+                lanes16[w + 1] = lanes16[w + 1] | (b >> (_W16 - sh))
+        term = ctx.mont_mul_lanes(
+            lanes16, [consts_ref[t, l] for l in range(ctx.L)]
+        )
+        res = term if res is None else ctx.add_mod_lanes(res, term)
+    if out7:
+        # emit compact 7-bit int8 limbs (feeds a follow-up MXU matmul —
+        # e.g. reconstruction — with 40% less HBM traffic than u32)
+        for l7 in range(mxu.L7):
+            o = _W7 * l7
+            w, sh = o // _W16, o % _W16
+            v = res[w] >> sh
+            if sh + _W7 > _W16 and w + 1 < ctx.L:
+                v = v | (res[w + 1] << (_W16 - sh))
+            out_ref[:, l7] = (v & _MASK7).astype(jnp.int8)
+    else:
+        for l in range(ctx.L):
+            out_ref[:, l] = res[l]
+
+
+def fused_share_combine_mxu(
+    mxu: MxuContext,
+    share_matrix,  # [m, n] canonical (normal-domain) host matrix
+    sec_planar,  # [P*slots*L7, NBP] int8 (slots = k or m; see has_prng)
+    p_count: int,
+    k: int,
+    rand_count: int,
+    seed=0,
+    lanes: int = 512,
+    out7: bool = False,
+    interpret: bool = False,
+):
+    """Fused MXU share+combine. Returns ``[n, L16, NBP]`` canonical u32
+    limbs, or ``[n, L7, NBP]`` canonical int8 7-bit limbs with ``out7=True``
+    (ready to feed back in as the input of a follow-up call — e.g.
+    reconstruction, which is the same modular matmul with ``p_count=1``,
+    ``k=n``, ``rand_count=0``).
+
+    If ``sec_planar`` carries ``k`` slots per participant, randomness is
+    drawn raw in-kernel from ``seed``; if it carries ``k + rand_count``
+    slots (host-CSPRNG canonical randomness — the protocol path), the PRNG
+    is unused.
+    """
+    interpret = interpret or jax.default_backend() == "cpu"
+    m = k + rand_count
+    share_matrix = np.asarray(share_matrix, dtype=object)
+    n = share_matrix.shape[1]
+    L7 = mxu.L7
+    rows, nbp = sec_planar.shape
+    if nbp % lanes:
+        raise ValueError(f"NBP={nbp} must be a multiple of lanes={lanes}")
+    if rows == p_count * k * L7:
+        has_prng = True
+    elif rows == p_count * m * L7:
+        has_prng = False
+    else:
+        raise ValueError("sec_planar rows match neither k nor k+r slots")
+
+    # output-column count: widest input slot + L7 - 1 (shared stride)
+    slot_limbs_max = 2 * L7 if (has_prng and rand_count) else L7
+    cols = slot_limbs_max + L7 - 1
+    n_pad = -(-(n * cols) // 32) * 32  # int8 sublane tile
+    # contraction / accumulator bound (int32): K * 127^2 < 2^31
+    K_total = p_count * (k * L7 + rand_count * (2 * L7 if has_prng else L7))
+    if K_total * _MASK7 * _MASK7 >= (1 << 31):
+        raise ValueError(
+            "participants * scheme_size exceeds the int32 accumulator bound; "
+            "chunk the participant axis (engine streaming path)"
+        )
+
+    sec_slots = list(range(k)) if has_prng else list(range(m))
+    bigs = _big_rows(
+        mxu, share_matrix,
+        [j for _ in range(p_count) for j in sec_slots],
+        [L7] * (p_count * len(sec_slots)), cols, n_pad,
+    )
+    if has_prng and rand_count:
+        bigr = _big_rows(
+            mxu, share_matrix,
+            [k + j for _ in range(p_count) for j in range(rand_count)],
+            [2 * L7] * (p_count * rand_count), cols, n_pad,
+        )
+        kr = p_count * rand_count * 2 * L7
+        if kr % 4 == 0:
+            # kernel packs 4 limbs per PRNG word in block order: new row
+            # b*(kr/4)+j carries the limb the plain order put at j*4+b
+            perm = np.empty(kr, dtype=np.int64)
+            for i in range(kr):
+                perm[(i % 4) * (kr // 4) + (i // 4)] = i
+            bigr = bigr[:, perm]
+    else:
+        bigr = np.zeros((n_pad, 32), dtype=np.int8)  # unused placeholder
+        kr = 0
+
+    total_limbs = cols + 4
+    n_chunks = -(-total_limbs // mxu.chunk)
+    consts = _chunk_consts_u32(mxu, n_chunks)
+
+    kernel = functools.partial(
+        _mxu_fused_kernel, mxu, n, cols, kr, n_chunks, out7
+    )
+    grid = (nbp // lanes,)
+    out_limbs = mxu.L7 if out7 else mxu.ctx.L
+    out_dtype = jnp.int8 if out7 else jnp.uint32
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk consts
+            pl.BlockSpec(bigs.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bigr.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rows, lanes), lambda t: (0, t), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n, out_limbs, lanes), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, out_limbs, nbp), out_dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray([seed], dtype=jnp.int32),
+        jnp.asarray(consts),
+        jnp.asarray(bigs),
+        jnp.asarray(bigr),
+        sec_planar,
+    )
