@@ -60,17 +60,27 @@ def main() -> int:
         mesh = make_mesh({"p": n_dev, "d": 1, "c": 1}, devices=jax.devices()[:n_dev])
         pipe = ShardedAggregationPipeline(engine, mesh)
         key = jax.random.key(0)
-        secrets = pipe.shard_inputs(
-            jax.jit(
-                lambda k: uniform_limbs(engine.ctx, k, (p_count, engine.nb, 3)),
-            )(key)
-        )
-        out = pipe.aggregate_from_key(secrets, key)
+        secrets_arr = jax.jit(
+            lambda k: uniform_limbs(engine.ctx, k, (p_count, engine.nb, 3)),
+        )(key)
+        if jax.default_backend() != "cpu" and hasattr(pipe, "aggregate_mxu"):
+            # real chips: the MXU int8 kernel path (in-VMEM PRNG randomness)
+            sec7 = pipe.shard_planar(
+                jax.jit(lambda x: engine.planar7_secrets(x, 512))(secrets_arr)
+            )
+            step = lambda i: pipe.aggregate_mxu(sec7, i)  # noqa: E731
+        else:
+            # virtual CPU mesh: jnp pipeline (Pallas PRNG has no CPU lowering)
+            secrets = pipe.shard_inputs(secrets_arr)
+            step = lambda i: pipe.aggregate_from_key(  # noqa: E731
+                secrets, jax.random.key(i)
+            )
+        out = step(0)
         jax.block_until_ready(out)
         iters = 5
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = pipe.aggregate_from_key(secrets, key)
+        for i in range(iters):
+            out = step(i + 1)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
         # field-op accounting per step (share matmul + combine + reconstruct)

@@ -100,6 +100,88 @@ class ShardedAggregationPipeline:
         self.in_sharding = NamedSharding(mesh, pspec_in)
         self.out_sharding = NamedSharding(mesh, pspec_out)
 
+        # ---------------------------------------- MXU-kernel sharded step
+        # Each chip runs the fused int8 share+combine kernel on its resident
+        # participants (sda_tpu/ops/mxu_kernel.py), producing per-clerk
+        # partial sums for ALL clerks; the cross-chip clerk combine is then
+        # a modular all-reduce over ("p", "c") — on this path the
+        # transposition collective is replaced by a reduction, which is the
+        # natural mapping once combine is fused into share generation.
+        if engine.mxu is not None:
+            from sda_tpu.ops.mxu_kernel import fused_share_combine_mxu
+
+            mxu = engine.mxu
+            k_ = spec.secret_count
+            r_ = spec.randomness_count
+            n_ = spec.share_count
+            L7 = mxu.L7
+            n_shards = self.axes.get("p", 1) * n_c
+
+            def _mxu_local(sec7_loc, seed, p_loc, lanes):
+                idx = jax.lax.axis_index("p") * n_c + jax.lax.axis_index("c")
+                local_seed = seed + jnp.int32(1315423911) * idx.astype(jnp.int32)
+                # slot count (k vs k+r) is auto-detected from the row count:
+                # k slots -> on-chip PRNG randomness, k+r -> caller-supplied
+                comb16 = fused_share_combine_mxu(
+                    mxu, spec.share_matrix, sec7_loc, p_loc,
+                    k_, r_,
+                    seed=local_seed, lanes=lanes, out7=False,
+                )  # [n, L16, NBP_loc]
+                x = jnp.moveaxis(comb16, 1, -1)  # limb-last for add_mod
+                x = psum_mod(ctx, x, "p")
+                x = psum_mod(ctx, x, "c")
+                comb16 = jnp.moveaxis(x, -1, 1)
+                # local reconstruction (replicated over p/c after the psum)
+                c7 = mxu.limbs7_from_16(jnp.moveaxis(comb16, 1, -1))
+                c7 = jnp.moveaxis(c7, -1, 1).reshape(-1, comb16.shape[-1])
+                rec = fused_share_combine_mxu(
+                    mxu, spec.reconstruct_matrix, c7, 1, n_, 0, lanes=lanes,
+                )  # [k, L16, NBP_loc]
+                return jnp.transpose(rec, (2, 0, 1))  # [NBP_loc, k, L16]
+
+            pspec_planar = P(("p", "c"), "d")
+
+            def _make_mxu_step(with_prng):
+                def body(sec7_loc, seed):
+                    slots = k_ if with_prng else k_ + r_
+                    p_loc = sec7_loc.shape[0] // (slots * L7)
+                    lanes = min(512, sec7_loc.shape[1])
+                    return _mxu_local(sec7_loc, seed, p_loc, lanes)
+
+                return jax.jit(
+                    jax.shard_map(
+                        body,
+                        mesh=mesh,
+                        in_specs=(pspec_planar, P()),
+                        out_specs=P("d", None, None),
+                        check_vma=False,
+                    )
+                )
+
+            self._mxu_step = _make_mxu_step(True)
+            self._mxu_step_ext = _make_mxu_step(False)
+            self.planar_sharding = NamedSharding(mesh, pspec_planar)
+
+            def aggregate_mxu(sec7, seed):
+                """``sec7``: ``[P*k*L7, NBP]`` int8 planar secrets, sharded
+                by :meth:`shard_planar`; randomness from the on-chip PRNG
+                (decorrelated per shard). Returns ``[NBP, k, L16]``
+                (slice to ``engine.nb`` rows for the revealed batches)."""
+                return self._mxu_step(sec7, jnp.asarray(seed, dtype=jnp.int32))
+
+            def aggregate_mxu_ext(ext7):
+                """Caller-randomness variant: ``[P*(k+r)*L7, NBP]`` planar
+                (host-CSPRNG canonical randomness; runs on any backend)."""
+                return self._mxu_step_ext(ext7, jnp.asarray(0, dtype=jnp.int32))
+
+            self.aggregate_mxu = aggregate_mxu
+            self.aggregate_mxu_ext = aggregate_mxu_ext
+
+    def shard_planar(self, sec7):
+        """Shard a planar int8 tensor: participant rows over ("p","c"),
+        lane blocks over "d"."""
+        return jax.device_put(sec7, self.planar_sharding)
+
     def aggregate(self, secrets_limbs, randomness_limbs):
         """``[P, nb, k, L]`` + randomness -> combined ``[nb, k, L]``."""
         return self._step(secrets_limbs, randomness_limbs)

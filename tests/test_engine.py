@@ -111,6 +111,36 @@ def test_sharded_pipeline_matches_single_device(rng):
     assert got_sharded == expect
 
 
+def test_sharded_mxu_kernel_matches_single_device(rng):
+    """The MXU-kernel sharded step (caller randomness) is bit-exact vs the
+    single-device jnp pipeline on a 2x2x2 virtual mesh."""
+    from sda_tpu.parallel import ShardedAggregationPipeline, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    scheme = PackedShamirScheme(**REF)
+    d = 12
+    engine = TpuAggregationEngine(scheme.device_spec(), d)
+    mesh = make_mesh({"p": 2, "d": 2, "c": 2})
+    pipe = ShardedAggregationPipeline(engine, mesh)
+    p_count = 8
+    secrets = np.array(
+        [[int(rng.integers(0, 433)) for _ in range(d)] for _ in range(p_count)], dtype=object
+    )
+    enc = jnp.asarray(engine.encode_secrets(secrets))
+    rand = jnp.asarray(engine.random_ext(p_count, rng=rng))
+    single = engine.aggregate(enc, rand)
+    ext = jnp.concatenate([enc, rand], axis=2)
+    ext7 = engine.planar7_ext(ext, lanes=128)
+    out = pipe.aggregate_mxu_ext(pipe.shard_planar(ext7))
+    # zero-padding batches follow the real ones; decode_output truncates
+    got = [int(x) for x in engine.decode_output(np.asarray(out))]
+    want = [int(x) for x in engine.decode_output(np.asarray(single))]
+    assert got == want
+    expect = [int(sum(secrets[i][j] for i in range(p_count))) % 433 for j in range(d)]
+    assert got == expect
+
+
 def test_device_combine_matches_host(rng):
     from sda_tpu.engine import device_combine
     from sda_tpu.fields import positive
