@@ -315,6 +315,21 @@ class TpuAggregationEngine:
             self.mxu_kernel_combined = _kernel_combined
             self.aggregate_mxu_kernel_streaming = _aggregate_mxu_kernel_streaming
 
+            @jax.jit
+            def _share_mxu(ext):
+                """Per-participant canonical shares on the MXU (the protocol
+                bulk path: each participant's shares are encrypted and
+                uploaded separately, participate.rs:74-101). ``ext``
+                [P, nb, k+r, L16] -> [P, nb, n, L16]."""
+                P = ext.shape[0]
+                e7 = mxu.limbs7_from_16(ext).reshape(P * self.nb, (k_ + r_) * L7)
+                out = mxu_modmat(
+                    mxu, e7, jnp.asarray(self._big_can), n_, self._cols_can
+                )
+                return out.reshape(P, self.nb, n_, self.ctx.L)
+
+            self.share_mxu = _share_mxu
+
     # ------------------------------------------------------ host edges
 
     def encode_secrets(self, secrets) -> np.ndarray:

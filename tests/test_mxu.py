@@ -168,6 +168,28 @@ def test_mxu_kernel_reconstruct_only_exact(rng):
     assert jnp.array_equal(batched_from_planar16(rec, engine.nb), golden)
 
 
+def test_share_mxu_matches_cios_shares(rng):
+    """Per-participant canonical shares (protocol bulk path) are bit-exact."""
+    d, p_count = 24, 4
+    engine = TpuAggregationEngine(_scheme64().device_spec(), d)
+    _, enc = _example(engine, p_count, d, rng)
+    rand = jnp.asarray(engine.random_ext(p_count, rng=rng))
+    ext = jnp.concatenate([enc, rand], axis=2)
+    assert jnp.array_equal(engine.share_mxu(ext), engine.share(ext))
+
+
+def test_roofline_report():
+    from sda_tpu.utils.profiling import V5E, roofline
+
+    rep = roofline(1e-3, hbm_bytes=819e6 / 2, mxu_int8_ops=0, vpu_u32_ops=0)
+    assert rep["binding_resource"] == "hbm"
+    assert abs(rep["utilization"]["hbm"] - 0.5) < 1e-6
+    rep2 = roofline(1e-3, hbm_bytes=1e6, mxu_int8_ops=394e9 * 0.9)
+    assert rep2["binding_resource"] == "mxu_int8"
+    assert 0 < rep2["fraction_of_sol"] <= 1
+    assert rep2["speed_of_light_s"] <= 1e-3
+
+
 def test_mxu_contraction_bound_enforced():
     p, _, _ = find_prime_field(62, 8, 9)
     ctx = LimbContext.create(p)
