@@ -20,6 +20,9 @@ flavour is only required for reference-vector parity).
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
 
 _U32 = np.uint32
@@ -117,15 +120,65 @@ def new_seed(seed_bitsize: int) -> list[int]:
     return [_secrets.randbits(32) for _ in range(words)]
 
 
+def _load_native():
+    """Optional C++ fast path (native/chacha.cpp); numpy fallback otherwise."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "native",
+        "libsda_native.so",
+    )
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        fn = lib.sda_chacha_expand_masks
+    except (OSError, AttributeError):
+        return None
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_size_t,
+        ctypes.c_size_t,
+        ctypes.c_size_t,
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    return fn
+
+
+_NATIVE_EXPAND = _load_native()
+
+
 def expand_masks(seeds, dimension: int, modulus: int) -> np.ndarray:
     """Expand ``[S]`` seeds (each a u32 word list) into ``[S, dimension]`` masks.
 
-    Vectorised over seeds: each mask element is one ``gen_range(0, m)`` draw
-    (two u32 words), matching the reference's sequential expansion
+    Uses the native C++ expansion (native/chacha.cpp) when built; otherwise
+    vectorised numpy over seeds. Each mask element is one ``gen_range(0, m)``
+    draw (two u32 words), matching the reference's sequential expansion
     (chacha.rs:36-39, 67-71). Rejection redraws (probability ~m/2**64) fall
-    back to the exact scalar path.
+    back to the exact scalar path on the numpy route; the native route
+    handles them inline.
     """
     seeds = list(seeds)
+    if (
+        _NATIVE_EXPAND is not None
+        and seeds
+        and dimension > 0
+        and 0 < modulus < (1 << 63)
+        and len({len(w) for w in seeds}) == 1
+    ):
+        words = np.ascontiguousarray(np.asarray(seeds, dtype=np.uint32))
+        out = np.empty((len(seeds), dimension), dtype=np.int64)
+        rc = _NATIVE_EXPAND(
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            words.shape[0],
+            words.shape[1],
+            dimension,
+            modulus,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if rc == 0:
+            return out
     s = len(seeds)
     if s == 0 or dimension == 0:
         return np.zeros((s, dimension), dtype=np.int64)

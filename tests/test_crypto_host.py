@@ -89,6 +89,23 @@ def test_expand_masks_matches_scalar_rng():
         assert batch[i].tolist() == scalar
 
 
+def test_native_expand_matches_numpy():
+    """C++ expansion (native/chacha.cpp) is bit-exact vs the numpy path."""
+    import sda_tpu.chacha as cc
+
+    if cc._NATIVE_EXPAND is None:
+        pytest.skip("libsda_native.so not built")
+    seeds = [new_seed(128) for _ in range(4)]
+    for m in (433, 12345, (1 << 61) - 1):
+        nat = expand_masks(seeds, dimension=40, modulus=m)
+        saved, cc._NATIVE_EXPAND = cc._NATIVE_EXPAND, None
+        try:
+            ref = expand_masks(seeds, dimension=40, modulus=m)
+        finally:
+            cc._NATIVE_EXPAND = saved
+        assert nat.tolist() == ref.tolist()
+
+
 def test_gen_range_zone_semantics():
     # identical seeds -> identical draws across instances
     a, b = ChaChaRng([7] * 4), ChaChaRng([7] * 4)
