@@ -168,6 +168,45 @@ def test_mxu_kernel_reconstruct_only_exact(rng):
     assert jnp.array_equal(batched_from_planar16(rec, engine.nb), golden)
 
 
+def test_mxu_kernel_128bit_protocol_exact(rng):
+    """BASELINE config 3 field: 125-bit modulus, 18 int8 limbs, L16=8."""
+    from sda_tpu.models import FederatedAggregation
+
+    model = FederatedAggregation.packed_128bit(dimension=24)
+    engine = model.engine
+    p_count = 3
+    secrets = np.array(
+        [[int(rng.integers(0, 1 << 31)) for _ in range(24)] for _ in range(p_count)],
+        dtype=object,
+    )
+    enc = jnp.asarray(engine.encode_secrets(secrets))
+    rand = jnp.asarray(engine.random_ext(p_count, rng=rng))
+    golden = engine.aggregate(enc, rand)
+    ext7 = engine.planar7_ext(jnp.concatenate([enc, rand], axis=2), lanes=128)
+    out = engine.aggregate_mxu_kernel(ext7, seed=0, p_count=p_count, lanes=128)
+    assert jnp.array_equal(out, golden)
+
+
+def test_mxu_kernel_additive_scheme_exact(rng):
+    """The additive scheme (odd modulus) runs the same MXU kernel path."""
+    from sda_tpu.sharing import AdditiveScheme
+
+    engine = TpuAggregationEngine(
+        AdditiveScheme(share_count=4, modulus=(1 << 61) - 1).device_spec(), 16
+    )
+    p_count = 3
+    secrets = np.array(
+        [[int(rng.integers(0, 1 << 31)) for _ in range(16)] for _ in range(p_count)],
+        dtype=object,
+    )
+    enc = jnp.asarray(engine.encode_secrets(secrets))
+    rand = jnp.asarray(engine.random_ext(p_count, rng=rng))
+    golden = engine.aggregate(enc, rand)
+    ext7 = engine.planar7_ext(jnp.concatenate([enc, rand], axis=2), lanes=128)
+    out = engine.aggregate_mxu_kernel(ext7, seed=0, p_count=p_count, lanes=128)
+    assert jnp.array_equal(out, golden)
+
+
 def test_share_mxu_matches_cios_shares(rng):
     """Per-participant canonical shares (protocol bulk path) are bit-exact."""
     d, p_count = 24, 4
