@@ -48,10 +48,12 @@ def new_agent(keystore: Keystore) -> proto.Agent:
 class SdaClient:
     """Primary object for interacting with an SDA service (lib.rs:39-56).
 
-    ``device_bulk_threshold``: when set, clerk-side combines with at least
-    that many field elements run on the accelerator via
-    :func:`sda_tpu.engine.device_combine` (the reference's clerk FIXME about
-    an accumulating combiner, clerk.rs:71-72, answered with hardware).
+    ``device_bulk_threshold``: when set, bulk field math beyond that many
+    elements runs on the accelerator — clerk-side combines via
+    :func:`sda_tpu.engine.device_combine` (the reference's clerk FIXME
+    about an accumulating combiner, clerk.rs:71-72, answered with
+    hardware) and participant-side share generation via the engine's
+    modular matmul (the participate.rs:74-76 hot path at model scale).
     """
 
     def __init__(
@@ -65,6 +67,36 @@ class SdaClient:
         self.crypto = CryptoModule(keystore)
         self.service = service
         self.device_bulk_threshold = device_bulk_threshold
+        self._engines: dict = {}
+
+    def _bulk_engine(self, scheme, dimension: int):
+        """Cached TPU engine per (scheme, dimension) configuration."""
+        key = (scheme, dimension)
+        engine = self._engines.get(key)
+        if engine is None:
+            from sda_tpu.engine import TpuAggregationEngine
+
+            engine = TpuAggregationEngine(scheme.device_spec(), dimension)
+            self._engines[key] = engine
+        return engine
+
+    def _device_share_vector(self, scheme, masked_secrets) -> np.ndarray:
+        """Participant-side bulk share generation on the accelerator.
+
+        Host-CSPRNG sharing randomness (protocol semantics preserved), the
+        share transform as a device modular matmul (MXU int8 path when the
+        modulus allows), canonical ``[share_count, nb]`` outputs — the same
+        contract as the host ``share_vector`` (batched.rs:19-52).
+        """
+        import jax.numpy as jnp
+
+        engine = self._bulk_engine(scheme, len(masked_secrets))
+        enc = engine.encode_secrets(np.asarray(masked_secrets, dtype=object)[None, :])
+        rand = engine.random_ext(1)
+        ext = jnp.concatenate([jnp.asarray(enc), jnp.asarray(rand)], axis=2)
+        share_fn = getattr(engine, "share_mxu", None) or engine.share
+        shares = engine.decode_shares(np.asarray(share_fn(ext)))  # [1, nb, n]
+        return shares[0].T.copy()  # [n, nb]
 
     # ------------------------------------------------------- maintenance
 
@@ -124,7 +156,15 @@ class SdaClient:
             recipient_encryption = mask_encryptor.encrypt(recipient_mask)
 
         generator = self.crypto.new_share_generator(aggregation.committee_sharing_scheme)
-        shares_per_clerk = generator.share_vector(masked_secrets)  # [clerks, batch]
+        if (
+            self.device_bulk_threshold is not None
+            and aggregation.vector_dimension >= self.device_bulk_threshold
+            and aggregation.modulus % 2 == 1
+            and hasattr(generator, "device_spec")
+        ):
+            shares_per_clerk = self._device_share_vector(generator, masked_secrets)
+        else:
+            shares_per_clerk = generator.share_vector(masked_secrets)  # [clerks, batch]
 
         clerk_encryptions = []
         for clerk_index, (clerk_id, clerk_key_id) in enumerate(committee.clerks_and_keys):
