@@ -98,6 +98,20 @@ class SdaClient:
         shares = engine.decode_shares(np.asarray(share_fn(ext)))  # [1, nb, n]
         return shares[0].T.copy()  # [n, nb]
 
+    def _device_reconstruct(self, scheme, indexed_shares, dimension: int) -> np.ndarray:
+        """Recipient-side bulk reconstruction on the accelerator (the
+        all-shares fast path; degraded committees use the host Lagrange
+        path). ``indexed_shares``: the full ``[(clerk_index, vector)]``
+        set. Returns the ``[dimension]`` canonical masked output."""
+        import jax.numpy as jnp
+
+        engine = self._bulk_engine(scheme, dimension)
+        ordered = [v for _, v in sorted(indexed_shares, key=lambda t: t[0])]
+        combined = np.asarray(ordered, dtype=object).T  # [nb, n]
+        out = engine.reconstruct(jnp.asarray(engine.ctx.encode(combined)))
+        vals = engine.decode_output(np.asarray(out))
+        return np.array([int(v) for v in vals], dtype=np.int64)
+
     # ------------------------------------------------------- maintenance
 
     def upload_agent(self) -> None:
@@ -307,12 +321,16 @@ class SdaClient:
             aggregation.recipient_key, aggregation.recipient_encryption_scheme
         )
 
-        # decrypt and combine masks (receive.rs:102-118)
+        # decrypt and combine masks (receive.rs:102-118); the ChaCha
+        # re-expansion of every participant's seed runs on the accelerator
+        # past the bulk threshold (the receive.rs hot loop)
         if result.recipient_encryptions is None:
             mask = np.zeros(0, dtype=np.int64)
         else:
             decrypted_masks = [decryptor.decrypt(e) for e in result.recipient_encryptions]
-            mask_combiner = self.crypto.new_secret_masker(aggregation.masking_scheme)
+            mask_combiner = self.crypto.new_secret_masker(
+                aggregation.masking_scheme, self.device_bulk_threshold
+            )
             mask = mask_combiner.combine(decrypted_masks)
 
         # decrypt clerk results, map clerk -> committee index (receive.rs:127-138)
@@ -328,9 +346,22 @@ class SdaClient:
         reconstructor = self.crypto.new_secret_reconstructor(
             aggregation.committee_sharing_scheme
         )
-        masked_output = reconstructor.reconstruct(
-            indexed_shares, dimension=aggregation.vector_dimension
-        )
+        scheme_size = aggregation.committee_sharing_scheme.output_size
+        if (
+            self.device_bulk_threshold is not None
+            and aggregation.vector_dimension >= self.device_bulk_threshold
+            and aggregation.modulus < (1 << 63)
+            and aggregation.modulus % 2 == 1
+            and hasattr(reconstructor, "device_spec")
+            and sorted(i for i, _ in indexed_shares) == list(range(scheme_size))
+        ):
+            masked_output = self._device_reconstruct(
+                reconstructor, indexed_shares, aggregation.vector_dimension
+            )
+        else:
+            masked_output = reconstructor.reconstruct(
+                indexed_shares, dimension=aggregation.vector_dimension
+            )
 
         unmasker = self.crypto.new_secret_masker(aggregation.masking_scheme)
         output = unmasker.unmask((mask, masked_output))

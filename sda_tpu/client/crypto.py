@@ -140,8 +140,8 @@ class CryptoModule:
     # ----------------------------------------------------------- schemes
 
     @staticmethod
-    def new_secret_masker(scheme):
-        return masker_for_scheme(scheme)
+    def new_secret_masker(scheme, device_bulk_threshold: int | None = None):
+        return masker_for_scheme(scheme, device_bulk_threshold=device_bulk_threshold)
 
     @staticmethod
     def new_share_generator(scheme):

@@ -137,8 +137,12 @@ class ChaChaMasker:
         return trunc_mod(np.asarray(masked) - np.asarray(mask), self.modulus)
 
 
-def masker_for_scheme(scheme):
-    """Factory mirroring CryptoModule's masker construction (masking/mod.rs:33-52)."""
+def masker_for_scheme(scheme, device_bulk_threshold: int | None = None):
+    """Factory mirroring CryptoModule's masker construction (masking/mod.rs:33-52).
+
+    ``device_bulk_threshold`` forwards to maskers with an accelerator bulk
+    path (currently ChaCha seed re-expansion at reveal time).
+    """
     from sda_tpu import protocol as proto
 
     if isinstance(scheme, proto.NoMasking):
@@ -146,5 +150,10 @@ def masker_for_scheme(scheme):
     if isinstance(scheme, proto.FullMasking):
         return FullMasker(scheme.modulus)
     if isinstance(scheme, proto.ChaChaMasking):
-        return ChaChaMasker(scheme.modulus, scheme.dimension, scheme.seed_bitsize)
+        return ChaChaMasker(
+            scheme.modulus,
+            scheme.dimension,
+            scheme.seed_bitsize,
+            device_bulk_threshold=device_bulk_threshold,
+        )
     raise Invalid(f"unknown masking scheme: {scheme!r}")

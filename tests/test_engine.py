@@ -190,6 +190,38 @@ def test_client_device_bulk_combine_full_loop(rng):
         assert out.positive().values.tolist() == [2, 4, 6, 8]
 
 
+def test_client_device_reveal_chacha_full_loop(rng):
+    """Recipient reveal with device mask re-expansion + reconstruction."""
+    import numpy as np
+    from tests.fixtures import make_client, with_service
+    from tests.test_full_loop import CONFIGS, agg_default
+
+    with with_service("memory") as service:
+        recipient = make_client(service)
+        rkey = recipient.new_encryption_key()
+        recipient.upload_agent()
+        recipient.upload_encryption_key(rkey)
+        agg = agg_default(recipient.agent.id, rkey, **CONFIGS["with_chachamask"])
+        recipient.upload_aggregation(agg)
+        clerks = [make_client(service) for _ in range(8)]
+        for c in clerks:
+            k = c.new_encryption_key()
+            c.upload_agent()
+            c.upload_encryption_key(k)
+        recipient.device_bulk_threshold = 1  # device mask combine + reconstruct
+        recipient.begin_aggregation(agg.id)
+        for _ in range(2):
+            p = make_client(service)
+            p.upload_agent()
+            p.participate(np.array([1, 2, 3, 4]), agg.id)
+        recipient.end_aggregation(agg.id)
+        recipient.run_chores(-1)
+        for c in clerks:
+            c.run_chores(-1)
+        out = recipient.reveal_aggregation(agg.id)
+        assert out.positive().values.tolist() == [2, 4, 6, 8]
+
+
 @pytest.mark.parametrize("config", ["simple", "with_packedshamir"])
 def test_client_device_share_generation_full_loop(config, rng):
     """Full protocol loop with participants sharing on the accelerator."""
