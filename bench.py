@@ -162,7 +162,7 @@ def _bench_config4_streaming(dimension: int):
 
     from sda_tpu.models import FederatedAggregation
 
-    p_chunk, n_chunks = 96, 106  # 10,176 participants
+    p_chunk, n_chunks = 128, 79  # 10,112 participants
     model = FederatedAggregation.packed_64bit(dimension=dimension)
     engine = model.engine
     mxu = engine.mxu
@@ -220,7 +220,7 @@ def _bench_host_baseline(dimension: int, participants: int):
 
 def main():
     dimension = 1_000_002  # divisible by secret_count=3
-    participants = 96  # VMEM-optimal chunk for the fused kernel at 512 lanes
+    participants = 128  # VMEM-optimal chunk for the fused kernel at 512 lanes
     dt, model = _bench_headline(dimension, participants)
     aggs_per_s = participants / dt
     fieldops = _fieldops(model.engine, participants)

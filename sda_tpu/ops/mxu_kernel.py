@@ -111,7 +111,7 @@ def _chunk_consts_u32(mxu: MxuContext, n_chunks: int) -> np.ndarray:
 
 
 def _mxu_fused_kernel(
-    mxu, n, cols, kr, n_chunks, out7,
+    mxu, n, cols, kr, rand_groups, n_chunks, out7,
     seed_ref, consts_ref, bigs_ref, bigr_ref, sec_ref, out_ref,
 ):
     ctx = mxu.ctx
@@ -122,25 +122,30 @@ def _mxu_fused_kernel(
     )
     if kr:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        if kr % 4 == 0:
-            # 4 independent 7-bit limbs per PRNG word (28 of 32 bits used);
-            # bigr's columns are permuted host-side to match the block order
-            w = pltpu.bitcast(
-                pltpu.prng_random_bits((kr // 4, T)), jnp.uint32
+        # randomness is generated and contracted in groups so the VMEM
+        # working set stays small even at large participant counts
+        kg = kr // rand_groups
+        for g in range(rand_groups):
+            if kg % 4 == 0:
+                # 4 independent 7-bit limbs per PRNG word (28 of 32 bits
+                # used); bigr's columns are permuted host-side to match
+                w = pltpu.bitcast(
+                    pltpu.prng_random_bits((kg // 4, T)), jnp.uint32
+                )
+                rand = jnp.concatenate(
+                    [((w >> s) & _MASK7).astype(jnp.int8) for s in (0, 7, 14, 21)],
+                    axis=0,
+                )
+            else:
+                rand = (
+                    pltpu.bitcast(pltpu.prng_random_bits((kg, T)), jnp.uint32)
+                    & _MASK7
+                ).astype(jnp.int8)
+            acc = acc + jax.lax.dot_general(
+                bigr_ref[:, g * kg : (g + 1) * kg], rand,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
             )
-            rand = jnp.concatenate(
-                [((w >> s) & _MASK7).astype(jnp.int8) for s in (0, 7, 14, 21)],
-                axis=0,
-            )
-        else:
-            rand = (
-                pltpu.bitcast(pltpu.prng_random_bits((kr, T)), jnp.uint32)
-                & _MASK7
-            ).astype(jnp.int8)
-        acc = acc + jax.lax.dot_general(
-            bigr_ref[...], rand, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
     # epilogue, vectorised over the clerk axis: every op below runs on
     # [n, T] blocks (one instruction drives all clerks' lanes at once)
     accu = acc[: n * cols].astype(jnp.uint32).reshape(n, cols, T)
@@ -240,6 +245,7 @@ def fused_share_combine_mxu(
         [j for _ in range(p_count) for j in sec_slots],
         [L7] * (p_count * len(sec_slots)), cols, n_pad,
     )
+    rand_groups = 1
     if has_prng and rand_count:
         bigr = _big_rows(
             mxu, share_matrix,
@@ -247,12 +253,23 @@ def fused_share_combine_mxu(
             [2 * L7] * (p_count * rand_count), cols, n_pad,
         )
         kr = p_count * rand_count * 2 * L7
-        if kr % 4 == 0:
-            # kernel packs 4 limbs per PRNG word in block order: new row
-            # b*(kr/4)+j carries the limb the plain order put at j*4+b
+        # group size: keep each in-VMEM randomness block under ~1.5 MB
+        budget = max(1, (1 << 20) * 3 // 2 // lanes)
+        while (
+            rand_groups < kr
+            and kr // rand_groups > budget
+            and kr % (rand_groups * 2) == 0
+        ):
+            rand_groups *= 2
+        kg = kr // rand_groups
+        if kg % 4 == 0:
+            # kernel packs 4 limbs per PRNG word per group in block order:
+            # within a group, new row b*(kg/4)+j carries the limb the plain
+            # order put at j*4+b
             perm = np.empty(kr, dtype=np.int64)
-            for i in range(kr):
-                perm[(i % 4) * (kr // 4) + (i // 4)] = i
+            for g in range(rand_groups):
+                for i in range(kg):
+                    perm[g * kg + (i % 4) * (kg // 4) + (i // 4)] = g * kg + i
             bigr = bigr[:, perm]
     else:
         bigr = np.zeros((n_pad, 32), dtype=np.int8)  # unused placeholder
@@ -263,7 +280,7 @@ def fused_share_combine_mxu(
     consts = _chunk_consts_u32(mxu, n_chunks)
 
     kernel = functools.partial(
-        _mxu_fused_kernel, mxu, n, cols, kr, n_chunks, out7
+        _mxu_fused_kernel, mxu, n, cols, kr, rand_groups, n_chunks, out7
     )
     grid = (nbp // lanes,)
     out_limbs = mxu.L7 if out7 else mxu.ctx.L
