@@ -99,16 +99,27 @@ class SdaClient:
         return shares[0].T.copy()  # [n, nb]
 
     def _device_reconstruct(self, scheme, indexed_shares, dimension: int) -> np.ndarray:
-        """Recipient-side bulk reconstruction on the accelerator (the
-        all-shares fast path; degraded committees use the host Lagrange
-        path). ``indexed_shares``: the full ``[(clerk_index, vector)]``
-        set. Returns the ``[dimension]`` canonical masked output."""
+        """Recipient-side bulk reconstruction on the accelerator.
+
+        All shares present -> the engine's precomputed inverse-transform
+        matmul; a threshold subset (degraded committee, crypto.rs:147-153)
+        -> the scheme's per-subset Lagrange matrix applied as the same
+        device modular matmul. Returns the ``[dimension]`` canonical
+        masked output."""
         import jax.numpy as jnp
 
+        from sda_tpu.ops.modmat import modmat
+
         engine = self._bulk_engine(scheme, dimension)
-        ordered = [v for _, v in sorted(indexed_shares, key=lambda t: t[0])]
-        combined = np.asarray(ordered, dtype=object).T  # [nb, n]
-        out = engine.reconstruct(jnp.asarray(engine.ctx.encode(combined)))
+        indexed_shares = sorted(indexed_shares, key=lambda t: t[0])
+        indices = [i for i, _ in indexed_shares]
+        combined = np.asarray([v for _, v in indexed_shares], dtype=object).T  # [nb, s]
+        limbs = jnp.asarray(engine.ctx.encode(combined))
+        if indices == list(range(scheme.output_size)):
+            out = engine.reconstruct(limbs)
+        else:
+            mat = np.asarray(scheme.reconstruct_matrix(indices), dtype=object)
+            out = modmat(engine.ctx, limbs, jnp.asarray(engine.ctx.encode_mont(mat)))
         vals = engine.decode_output(np.asarray(out))
         return np.array([int(v) for v in vals], dtype=np.int64)
 
@@ -347,13 +358,20 @@ class SdaClient:
             aggregation.committee_sharing_scheme
         )
         scheme_size = aggregation.committee_sharing_scheme.output_size
+        indices = sorted(i for i, _ in indexed_shares)
+        full_set = indices == list(range(scheme_size))
+        valid_subset = (
+            hasattr(reconstructor, "reconstruct_matrix")
+            and len(set(indices)) == len(indices)
+            and len(indices) >= getattr(reconstructor, "reconstruction_threshold", scheme_size)
+        )
         if (
             self.device_bulk_threshold is not None
             and aggregation.vector_dimension >= self.device_bulk_threshold
             and aggregation.modulus < (1 << 63)
             and aggregation.modulus % 2 == 1
             and hasattr(reconstructor, "device_spec")
-            and sorted(i for i, _ in indexed_shares) == list(range(scheme_size))
+            and (full_set or valid_subset)
         ):
             masked_output = self._device_reconstruct(
                 reconstructor, indexed_shares, aggregation.vector_dimension

@@ -55,6 +55,11 @@ def test_clerk_dropout_reveal_still_works():
         out = recipient.reveal_aggregation(agg.id)
         assert out.positive().values.tolist() == [2, 4, 6, 8]
 
+        # same degraded committee revealed through the device Lagrange path
+        recipient.device_bulk_threshold = 1
+        out = recipient.reveal_aggregation(agg.id)
+        assert out.positive().values.tolist() == [2, 4, 6, 8]
+
 
 def test_too_many_dropouts_not_ready():
     with with_service("memory") as service:
