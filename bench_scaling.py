@@ -28,17 +28,28 @@ def main() -> int:
                     help="force the virtual CPU mesh (default: auto)")
     args = ap.parse_args()
 
+    # XLA_FLAGS are parsed once, at the process's first backend init, so the
+    # virtual host-CPU device count must be in place before jax.devices() is
+    # ever called (harmless when the run lands on real chips: the flag only
+    # affects the host platform).
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + f" --xla_force_host_platform_device_count={args.devices}").strip()
+    if "xla_disable_hlo_passes" not in flags:
+        flags = flags + " --xla_disable_hlo_passes=algsimp"
+    os.environ["XLA_FLAGS"] = flags
+
     import jax
 
     if args.cpu_mesh or len(jax.devices()) < 2:
-        # re-exec is not possible post-init; require env or conftest-style setup
         if jax.default_backend() != "cpu":
-            os.environ["XLA_FLAGS"] = (
-                os.environ.get("XLA_FLAGS", "")
-                + f" --xla_force_host_platform_device_count={args.devices}"
-                + " --xla_disable_hlo_passes=algsimp"
-            ).strip()
+            # backends may already be initialized (this image's sitecustomize
+            # pre-imports jax on the remote-TPU platform); clear and re-create
+            # them on the virtual host-CPU platform
+            import jax.extend.backend as jeb
+
             jax.config.update("jax_platforms", "cpu")
+            jeb.clear_backends()
 
     from sda_tpu.engine import TpuAggregationEngine
     from sda_tpu.fields import find_prime_field
