@@ -11,6 +11,17 @@ Pallas kernel in :mod:`sda_tpu.ops.pallas_kernels`). Built on two facts:
    **no reduction at all**: the on-chip PRNG's words masked to 7 bits *are*
    uniform raw limbs. Randomness is created in VMEM and consumed by the MXU
    without ever existing in HBM.
+3. For the fused (combined-output) path, linearity collapses the
+   per-participant randomness contraction: ``Σ_p R·rand_p = R·(Σ_p rand_p)``.
+   Every participant's raw limbs are still drawn, but they are summed on the
+   VPU in mask-packed u32 lanes (two 14-bit carry-save fields per word;
+   ``P ≤ 129`` keeps them carry-free), re-split into lo/hi 7-bit limbs, and
+   contracted by ONE P-independent matmul — the randomness MXU work drops
+   from ``O(P·r·2L7)`` to ``O(2·r·2L7)`` rows (~4x fewer total MXU ops and
+   ~1.8x faster end-to-end for the packed-Shamir(3,8,4) 64-bit scheme).
+   Correctness of the carry-save/bigRsum alignment is proven host-side in
+   tests/test_mxu.py::test_randsum_carry_save_alignment (reveal-level checks
+   cannot see randomness bugs — any ``R·u'`` cancels at reconstruction).
 
 Memory traffic per step is therefore just the compact int8 secret limbs in
 and the canonical per-clerk sums out; the share tensor, the randomness, and
@@ -102,6 +113,38 @@ def _big_rows(mxu: MxuContext, m_normal, slot_rows, in_limbs, cols: int, n_pad: 
     return big
 
 
+def _big_rows_randsum(mxu: MxuContext, m_normal, k: int, rand_count: int,
+                      cols: int, n_pad: int, words_per_p: int):
+    """Transposed ``bigRsumᵀ[n_pad, 8·words_per_p]`` for summed randomness.
+
+    In rand-sum mode the kernel draws each participant's raw double-width
+    randomness limbs, sums them over participants in packed u32 lanes, and
+    re-splits each limb-position sum into (lo, hi) 7-bit carry limbs. Row
+    ``(b·2+carry)·words_per_p + w`` of the summed-randomness operand carries
+    limb position ``idx = w·4 + b`` (the PRNG packs 4 limbs per 32-bit word)
+    with weight ``2^(7·(idx%r2l + carry))``; its matrix column is therefore
+    the original column for limb position ``idx`` shifted by ``carry``.
+    Positions past ``rand_count·2L7`` (word padding) stay zero.
+    """
+    from sda_tpu.ops.mxu import limbs7_host
+
+    m_normal = np.asarray(m_normal, dtype=object)
+    n = m_normal.shape[1]
+    L7 = mxu.L7
+    r2l = 2 * L7  # raw double-width limbs per rand slot
+    mlimbs = limbs7_host(m_normal, L7)  # [m, n, L7]
+    big = np.zeros((n_pad, 8 * words_per_p), dtype=np.int8)
+    for idx in range(rand_count * r2l):
+        slot, l1 = k + idx // r2l, idx % r2l
+        w, b = idx // 4, idx % 4
+        for carry in (0, 1):
+            col = (b * 2 + carry) * words_per_p + w
+            for i in range(n):
+                for l2 in range(L7):
+                    big[i * cols + (l1 + carry + l2), col] = mlimbs[slot, i, l2]
+    return big
+
+
 def _chunk_consts_u32(mxu: MxuContext, n_chunks: int) -> np.ndarray:
     """SMEM table ``[n_chunks, L16]``: Montgomery-form ``2^(7·chunk·t)``."""
     ctx = mxu.ctx
@@ -111,7 +154,7 @@ def _chunk_consts_u32(mxu: MxuContext, n_chunks: int) -> np.ndarray:
 
 
 def _mxu_fused_kernel(
-    mxu, n, cols, kr, rand_groups, n_chunks, out7,
+    mxu, n, cols, kr, rand_groups, n_chunks, out7, rand_sum,
     seed_ref, consts_ref, bigs_ref, bigr_ref, sec_ref, out_ref,
 ):
     ctx = mxu.ctx
@@ -120,7 +163,38 @@ def _mxu_fused_kernel(
         bigs_ref[...], sec_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    if kr:
+    if kr and rand_sum:
+        # rand-sum mode: Σ_p R·rand_p = R·(Σ_p rand_p). Draw every
+        # participant's raw limbs, but sum them over participants in packed
+        # u32 lanes (limbs 0/2 of each PRNG word in accE bits 0-13/14-27,
+        # limbs 1/3 in accO; P ≤ 129 keeps each 14-bit field carry-free),
+        # then contract once with the P-independent bigRsum — the MXU work
+        # for randomness drops from O(P·r·2L7) to O(8·r·2L7/4) rows.
+        p_count, words_per_p, pg = rand_sum
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        mask2 = jnp.uint32(_MASK7 | (_MASK7 << 14))
+        accE = jnp.zeros((words_per_p, T), jnp.uint32)
+        accO = jnp.zeros((words_per_p, T), jnp.uint32)
+        for _ in range(p_count // pg):
+            w = pltpu.bitcast(
+                pltpu.prng_random_bits((pg * words_per_p, T)), jnp.uint32
+            ).reshape(pg, words_per_p, T)
+            # unrolled adds: Mosaic has no unsigned-reduce lowering
+            for j in range(pg):
+                accE = accE + (w[j] & mask2)
+                accO = accO + ((w[j] >> 7) & mask2)
+        sums = [accE & 0x3FFF, accO & 0x3FFF, accE >> 14, accO >> 14]
+        rand2 = jnp.concatenate(
+            [part for s in sums
+             for part in ((s & _MASK7).astype(jnp.int8),
+                          (s >> _W7).astype(jnp.int8))],
+            axis=0,
+        )  # [8·words_per_p, T]: (limb-in-word b, carry) blocks, word-major
+        acc = acc + jax.lax.dot_general(
+            bigr_ref[...], rand2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    elif kr:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         # randomness is generated and contracted in groups so the VMEM
         # working set stays small even at large participant counts
@@ -227,12 +301,27 @@ def fused_share_combine_mxu(
     else:
         raise ValueError("sec_planar rows match neither k nor k+r slots")
 
-    # output-column count: widest input slot + L7 - 1 (shared stride)
+    # rand-sum mode: sum raw randomness over participants in-lane, contract
+    # once (P-independent MXU work). Needs every 14-bit carry-save field to
+    # stay below 2^14 = P·127 bound, i.e. P ≤ 129.
+    rand_sum = None
+    if has_prng and rand_count and p_count <= 129:
+        words_per_p = -(-(rand_count * 2 * L7) // 4)
+        pg = max(d for d in range(1, min(16, p_count) + 1) if p_count % d == 0)
+        rand_sum = (p_count, words_per_p, pg)
+
+    # output-column count: widest input slot + L7 - 1 (shared stride);
+    # rand-sum carry limbs shift one position further
     slot_limbs_max = 2 * L7 if (has_prng and rand_count) else L7
-    cols = slot_limbs_max + L7 - 1
+    cols = slot_limbs_max + L7 - 1 + (1 if rand_sum else 0)
     n_pad = -(-(n * cols) // 32) * 32  # int8 sublane tile
     # contraction / accumulator bound (int32): K * 127^2 < 2^31
-    K_total = p_count * (k * L7 + rand_count * (2 * L7 if has_prng else L7))
+    if rand_sum:
+        # summed randomness contracts over 8·words_per_p int8 rows, but each
+        # lo/hi carry limb is ≤ 127 like any other operand
+        K_total = p_count * k * L7 + 8 * rand_sum[1]
+    else:
+        K_total = p_count * (k * L7 + rand_count * (2 * L7 if has_prng else L7))
     if K_total * _MASK7 * _MASK7 >= (1 << 31):
         raise ValueError(
             "participants * scheme_size exceeds the int32 accumulator bound; "
@@ -246,7 +335,12 @@ def fused_share_combine_mxu(
         [L7] * (p_count * len(sec_slots)), cols, n_pad,
     )
     rand_groups = 1
-    if has_prng and rand_count:
+    if rand_sum:
+        bigr = _big_rows_randsum(
+            mxu, share_matrix, k, rand_count, cols, n_pad, rand_sum[1]
+        )
+        kr = p_count * rand_count * 2 * L7
+    elif has_prng and rand_count:
         bigr = _big_rows(
             mxu, share_matrix,
             [k + j for _ in range(p_count) for j in range(rand_count)],
@@ -280,7 +374,8 @@ def fused_share_combine_mxu(
     consts = _chunk_consts_u32(mxu, n_chunks)
 
     kernel = functools.partial(
-        _mxu_fused_kernel, mxu, n, cols, kr, rand_groups, n_chunks, out7
+        _mxu_fused_kernel, mxu, n, cols, kr, rand_groups, n_chunks, out7,
+        rand_sum,
     )
     grid = (nbp // lanes,)
     out_limbs = mxu.L7 if out7 else mxu.ctx.L

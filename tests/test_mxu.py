@@ -236,3 +236,59 @@ def test_mxu_contraction_bound_enforced():
     too_long = jnp.zeros((1, 140000), dtype=jnp.int8)
     with pytest.raises(ValueError, match="accumulator bound"):
         mxu_modmat(mxu, too_long, np.zeros((140000, 8), dtype=np.int8), 1, 8)
+
+
+@pytest.mark.parametrize("bits", [10, 62, 126], ids=["p10", "p62", "p126"])
+def test_randsum_carry_save_alignment(bits, rng):
+    """The rand-sum path of the fused kernel, replayed exactly in numpy.
+
+    The reveal cross-check cannot see randomness bugs (any contribution of
+    the form R·u' cancels at reconstruction), so the privacy-critical claim
+    — carry-save-summed raw limbs contracted against ``_big_rows_randsum``
+    equal ``Σ_p Σ_slot R[slot]·rand_p[slot] mod p`` — is proven here by
+    replaying the kernel's arithmetic (mask-packed u32 lane accumulation,
+    14-bit field extraction, lo/hi 7-bit re-split, int8 contraction,
+    base-2⁷ carry propagation) on host integers.
+    """
+    from sda_tpu.ops.mxu_kernel import _big_rows_randsum
+
+    p, _, _ = find_prime_field(bits, 8, 9)
+    ctx = LimbContext.create(p)
+    mxu = MxuContext.create(ctx)
+    L7, n, k, r = mxu.L7, 8, 3, 4
+    r2l = 2 * L7
+    words_per_p = -(-(r * r2l) // 4)
+    cols = 2 * L7 + L7 - 1 + 1  # driver's rand-sum column stride
+    n_pad = -(-(n * cols) // 32) * 32
+    M = np.array(
+        [[int(rng.integers(0, p & 0x7FFFFFFFFFFFFFFF)) % p for _ in range(n)]
+         for _ in range(k + r)],
+        dtype=object,
+    )
+    big = _big_rows_randsum(mxu, M, k, r, cols, n_pad, words_per_p)
+
+    P = 129  # the carry-save bound: 129 * 127 < 2^14
+    words = rng.integers(0, 1 << 32, size=(P, words_per_p), dtype=np.uint64)
+    mask2 = np.uint64(127 | (127 << 14))
+    accE = (words & mask2).sum(axis=0)
+    accO = ((words >> np.uint64(7)) & mask2).sum(axis=0)
+    assert accE.max() < 1 << 28 and accO.max() < 1 << 28  # fields carry-free
+    sums = [accE & 0x3FFF, accO & 0x3FFF, accE >> np.uint64(14), accO >> np.uint64(14)]
+    rand2 = np.concatenate(
+        [part for s in sums for part in (s & np.uint64(127), s >> np.uint64(7))]
+    ).astype(np.int64)  # [8·words_per_p], kernel row order
+    acc = big.astype(np.int64).T.T @ rand2  # int8 values are exact in int64
+
+    for i in range(n):
+        digits = acc[i * cols : (i + 1) * cols]
+        got = sum(int(d) << (7 * j) for j, d in enumerate(digits)) % p
+        expect = 0
+        for pp in range(P):
+            for slot in range(r):
+                v = 0
+                for l1 in range(r2l):
+                    idx = slot * r2l + l1
+                    w, b = idx // 4, idx % 4
+                    v += (int(words[pp, w]) >> (7 * b) & 127) << (7 * l1)
+                expect += v * int(M[k + slot, i])
+        assert got == expect % p, f"clerk {i} misaligned"
