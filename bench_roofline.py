@@ -55,9 +55,12 @@ def main() -> int:
     dt, comb7 = device_time(
         lambda i: share_combine(sec7, jnp.asarray(i, jnp.int32)), iters=10
     )
-    cols = 3 * L7 - 1  # widest slot (2*L7 raw randomness) + L7 - 1
+    cols = 3 * L7  # widest slot (2*L7 raw rand) + L7 - 1 + rand-sum carry
     n_pad = -(-(n * cols) // 32) * 32
-    mxu_ops = 2.0 * nbp * n_pad * P * (k * L7 + r * 2 * L7)
+    # rand-sum mode (P <= 129): randomness contracts over 8*ceil(r*2L7/4)
+    # P-independent rows instead of P*r*2L7
+    words_per_p = -(-(r * 2 * L7) // 4)
+    mxu_ops = 2.0 * nbp * n_pad * (P * k * L7 + 8 * words_per_p)
     hbm = sec7.size + comb7.size
     rep = roofline(dt, hbm_bytes=hbm, mxu_int8_ops=mxu_ops)
     print(f"# share+combine: {dt*1e3:.2f} ms  {json.dumps(rep)}", file=sys.stderr)
