@@ -16,13 +16,14 @@ sleep 1
 
 sda() { python -m sda_tpu.cli -s http://127.0.0.1:$PORT "$@"; }
 
-# create recipient, plus three clerks, all with encryption keys
+# the recipient and the committee clerks each register an identity AND a
+# signed encryption key (shares will be sealed to those keys)
 for i in recipient clerk-1 clerk-2 clerk-3; do
     sda -i "$DATA/agent/$i" agent create
     sda -i "$DATA/agent/$i" agent keys create
 done
 
-# create participants. they don't need encryption keys
+# participants only ever encrypt TO others, so a bare identity suffices
 for i in part-1 part-2 part-3; do
     sda -i "$DATA/agent/$i" agent create
 done

@@ -251,13 +251,12 @@ class TpuAggregationEngine:
 
             @partial(jax.jit, static_argnums=(2, 3))
             def _kernel_step(sec7, seed, p_count, lanes):
-                comb7 = fused_share_combine_mxu(
-                    mxu, spec.share_matrix, sec7, p_count,
-                    k_, r_, seed=seed, lanes=lanes, out7=True,
-                )
+                # share+combine+reconstruct in ONE kernel dispatch: the
+                # combined share tensor never exists in HBM
                 rec = fused_share_combine_mxu(
-                    mxu, spec.reconstruct_matrix,
-                    comb7.reshape(-1, comb7.shape[-1]), 1, n_, 0, lanes=lanes,
+                    mxu, spec.share_matrix, sec7, p_count,
+                    k_, r_, seed=seed, lanes=lanes,
+                    reconstruct_matrix=spec.reconstruct_matrix,
                 )
                 return batched_from_planar16(rec, self.nb)
 

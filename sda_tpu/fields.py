@@ -22,11 +22,16 @@ lives in :mod:`sda_tpu.ops`. Two things matter for parity with the reference:
 
 from __future__ import annotations
 
+import os
 import secrets as _secrets
 from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np
+
+# Module-level indirection so tests can pin that protocol-path randomness
+# really comes from the OS CSPRNG (and nothing else).
+_urandom = os.urandom
 
 __all__ = [
     "trunc_mod",
@@ -193,21 +198,36 @@ class PrimeField:
     def sample(self, shape, rng: np.random.Generator | None = None) -> np.ndarray:
         """Uniform elements of ``[0, p)``.
 
-        The reference draws from the OS CSPRNG per element
-        (/root/reference/client/src/crypto/sharing/additive.rs:42-44). Here the
-        default is a numpy Generator freshly seeded from ``os.urandom`` — pass
-        ``rng=None`` for that, or a seeded Generator for reproducible tests.
+        The reference draws every mask/share random element from the OS
+        CSPRNG (/root/reference/client/src/crypto/sharing/additive.rs:42-44,
+        masking/full.rs:22-35). With ``rng=None`` (the protocol path) bytes
+        come from :func:`os.urandom` — never a statistical PRG: small fields
+        use vectorised zone-rejection on u64 draws (exactly uniform), large
+        fields floor-mod ``bitlen(p)+64``-bit draws (bias < 2^-64). Pass a
+        seeded numpy Generator only for reproducible tests.
         """
-        if rng is None:
-            rng = np.random.default_rng(_secrets.randbits(128))
+        count = int(np.prod(shape)) if shape else 1
         if self.small:
+            if rng is None:
+                out = np.empty(count, dtype=np.uint64)
+                filled = 0
+                zone = (1 << 64) - ((1 << 64) % self.p)  # rejection zone
+                while filled < count:
+                    need = count - filled
+                    draws = np.frombuffer(
+                        _urandom((need + 4) * 8), dtype=np.uint64
+                    )
+                    draws = draws[draws < np.uint64(zone)][:need]
+                    out[filled : filled + draws.size] = draws
+                    filled += draws.size
+                return (out % np.uint64(self.p)).astype(np.int64).reshape(shape)
             return rng.integers(0, self.p, size=shape, dtype=np.int64)
         # rejection-free big-int sampling: draw ceil(log2 p)+64 bits, floor-mod
         nbytes = (self.p.bit_length() + 64 + 7) // 8
-        raw = rng.bytes(int(np.prod(shape)) * nbytes)
+        raw = _urandom(count * nbytes) if rng is None else rng.bytes(count * nbytes)
         vals = [
             int.from_bytes(raw[i * nbytes : (i + 1) * nbytes], "little") % self.p
-            for i in range(int(np.prod(shape)))
+            for i in range(count)
         ]
         return np.array(vals, dtype=object).reshape(shape)
 

@@ -1,35 +1,49 @@
 """Pallas kernel: fused share-generation + clerk-combine on the MXU.
 
 The third-generation hot path (after the jnp pipeline and the VPU/CIOS
-Pallas kernel in :mod:`sda_tpu.ops.pallas_kernels`). Built on two facts:
+Pallas kernel in :mod:`sda_tpu.ops.pallas_kernels`). Built on three facts:
 
 1. The whole "multiply every participant's ext vector by the share matrix
    and sum over participants" step is one integer matmul once field elements
    are split into 7-bit int8 limbs (:mod:`sda_tpu.ops.mxu`) — systolic-array
    work instead of O(2L²) u32 VPU multiplies per product.
-2. Sharing randomness drawn raw (double-width, bias ``<= 2^-(7·L7)``) needs
+2. **Reduced big-matrix**: the limb shift can be pre-multiplied into the
+   matrix *mod p*. Instead of the banded ``bigM[(j,l1),(i,lo)] =
+   limb_{lo-l1}(M[j,i])`` layout (output stride ``2L7+L7`` redundant
+   columns, ~1/3 dense), the kernel contracts against
+   ``bigM[(j,l1),(i,l2)] = limb_l2(M[j,i]·2^{7·l1} mod p)`` — every entry is
+   a limb of a *canonical* field element, so the output needs only ``L7``
+   columns per clerk. For the packed-Shamir(3,8,4) 64-bit scheme this cuts
+   the MXU contraction output from 224 to 96 rows (~2.3x less systolic
+   work) and halves the carry/Montgomery epilogue (13 limbs / 2 folds
+   instead of 31 / 4).
+3. Sharing randomness drawn raw (double-width, bias ``<= 2^-(7·L7)``) needs
    **no reduction at all**: the on-chip PRNG's words masked to 7 bits *are*
    uniform raw limbs. Randomness is created in VMEM and consumed by the MXU
-   without ever existing in HBM.
-3. For the fused (combined-output) path, linearity collapses the
-   per-participant randomness contraction: ``Σ_p R·rand_p = R·(Σ_p rand_p)``.
-   Every participant's raw limbs are still drawn, but they are summed on the
-   VPU in mask-packed u32 lanes (two 14-bit carry-save fields per word;
-   ``P ≤ 129`` keeps them carry-free), re-split into lo/hi 7-bit limbs, and
-   contracted by ONE P-independent matmul — the randomness MXU work drops
-   from ``O(P·r·2L7)`` to ``O(2·r·2L7)`` rows (~4x fewer total MXU ops and
-   ~1.8x faster end-to-end for the packed-Shamir(3,8,4) 64-bit scheme).
-   Correctness of the carry-save/bigRsum alignment is proven host-side in
-   tests/test_mxu.py::test_randsum_carry_save_alignment (reveal-level checks
-   cannot see randomness bugs — any ``R·u'`` cancels at reconstruction).
+   without ever existing in HBM. For the fused (combined-output) path,
+   linearity collapses the per-participant randomness contraction:
+   ``Σ_p R·rand_p = R·(Σ_p rand_p)``. Every participant's raw limbs are
+   still drawn, but they are summed on the VPU in mask-packed u32 lanes
+   (two 14-bit carry-save fields per word; ``P ≤ 129`` keeps them
+   carry-free), re-split into lo/hi 7-bit limbs, and contracted by ONE
+   P-independent matmul. Correctness of the carry-save/bigRsum alignment is
+   proven host-side in tests/test_mxu.py::test_randsum_carry_save_alignment
+   (reveal-level checks cannot see randomness bugs — any ``R·u'`` cancels
+   at reconstruction).
+
+The kernel can also apply a **second modular matmul in-kernel**
+(``reconstruct_matrix=``): the canonical per-clerk sums are re-split to
+7-bit limbs in VMEM and contracted against the reduced reconstruction
+matrix, so the full share→combine→reconstruct pipeline is ONE dispatch and
+the combined share tensor never exists in HBM.
 
 Memory traffic per step is therefore just the compact int8 secret limbs in
-and the canonical per-clerk sums out; the share tensor, the randomness, and
+and the canonical output limbs out; the share tensor, the randomness, and
 the redundant int32 accumulators live only in VMEM/registers.
 
 Layout (transposed-planar): batch positions are *lanes*. Secrets arrive as
 ``[P·k·L7, NBP]`` int8 (slot-major rows), the kernel tiles the lane axis,
-computes ``acc[N, T] = bigSᵀ @ sec_tile + bigRᵀ @ rand_tile`` with int32
+computes ``acc[n·L7, T] = bigSᵀ @ sec_tile + bigRᵀ @ rand_tile`` with int32
 MXU accumulation, and renormalises each clerk's redundant base-2⁷ columns
 in-kernel (carry-propagate → canonical chunks → Montgomery fold, all on
 ``[T]``-wide row vectors). Output: ``[n, L16, NBP]`` canonical u32 limbs.
@@ -84,64 +98,78 @@ def batched_from_planar16(y, nb: int):
     return jnp.transpose(y, (2, 0, 1))[:nb]
 
 
-def _big_rows(mxu: MxuContext, m_normal, slot_rows, in_limbs, cols: int, n_pad: int):
-    """Transposed ``bigMᵀ[N_pad, rows]`` int8 for the given slot subset.
+def _reduced_row(mxu: MxuContext, m_col, shift: int) -> np.ndarray:
+    """One big-matrix row: ``limb_l2(m_col[i]·2^shift mod p)`` flattened.
 
-    ``slot_rows``: indices into ``m_normal`` rows, repeated participant-major
-    by the caller. ``in_limbs``: limb count per listed slot. Output columns
-    (acc rows) are ``(i, lo)``-major with stride ``cols`` (shared across the
-    secret and randomness matrices), padded to ``n_pad`` MXU-friendly rows.
+    ``m_col``: the ``[n]`` matrix row for one input slot. Returns
+    ``[n·L7]`` int8 — the reduced (premultiplied-shift) entries for every
+    output column ``(i, l2)``.
     """
     from sda_tpu.ops.mxu import limbs7_host
 
+    p = mxu.ctx.p
+    vals = [(int(v) * pow(2, shift, p)) % p for v in m_col]
+    return limbs7_host(np.array(vals, dtype=object), mxu.L7).reshape(-1)
+
+
+def _big_rows(mxu: MxuContext, m_normal, slot_rows, in_limbs, n_pad: int):
+    """Reduced ``bigMᵀ[n_pad, rows]`` int8 for the given slot subset.
+
+    ``slot_rows``: indices into ``m_normal`` rows, repeated participant-major
+    by the caller. ``in_limbs``: limb count per listed slot. Output rows
+    (acc rows) are ``(i, l2)``-major with stride ``L7`` per clerk, padded to
+    ``n_pad`` MXU-friendly rows; entry for input row ``(j, l1)`` is
+    ``limb_l2(M[j,i]·2^{7·l1} mod p)``.
+    """
     m_normal = np.asarray(m_normal, dtype=object)
     n = m_normal.shape[1]
-    if n * cols > n_pad:
+    L7 = mxu.L7
+    if n * L7 > n_pad:
         raise ValueError("n_pad too small")
-    mlimbs = limbs7_host(m_normal, mxu.L7)  # [m, n, L7]
     rows = sum(in_limbs)
     big = np.zeros((n_pad, rows), dtype=np.int8)
+    cache: dict[tuple[int, int], np.ndarray] = {}
     row = 0
     for j, limbs in zip(slot_rows, in_limbs):
         for l1 in range(limbs):
-            if l1 + mxu.L7 > cols:
-                raise ValueError("cols too small for slot limb count")
-            for i in range(n):
-                for l2 in range(mxu.L7):
-                    big[i * cols + (l1 + l2), row] = mlimbs[j, i, l2]
+            got = cache.get((j, l1))
+            if got is None:
+                got = _reduced_row(mxu, m_normal[j], _W7 * l1)
+                cache[(j, l1)] = got
+            big[: n * L7, row] = got
             row += 1
     return big
 
 
 def _big_rows_randsum(mxu: MxuContext, m_normal, k: int, rand_count: int,
-                      cols: int, n_pad: int, words_per_p: int):
-    """Transposed ``bigRsumᵀ[n_pad, 8·words_per_p]`` for summed randomness.
+                      n_pad: int, words_per_p: int):
+    """Reduced ``bigRsumᵀ[n_pad, 8·words_per_p]`` for summed randomness.
 
     In rand-sum mode the kernel draws each participant's raw double-width
     randomness limbs, sums them over participants in packed u32 lanes, and
     re-splits each limb-position sum into (lo, hi) 7-bit carry limbs. Row
     ``(b·2+carry)·words_per_p + w`` of the summed-randomness operand carries
     limb position ``idx = w·4 + b`` (the PRNG packs 4 limbs per 32-bit word)
-    with weight ``2^(7·(idx%r2l + carry))``; its matrix column is therefore
-    the original column for limb position ``idx`` shifted by ``carry``.
-    Positions past ``rand_count·2L7`` (word padding) stay zero.
+    with weight ``2^{7·(idx%r2l + carry)}``; its reduced matrix entries are
+    therefore ``limb_l2(M[slot,i]·2^{7·(l1+carry)} mod p)``. Positions past
+    ``rand_count·2L7`` (word padding) stay zero.
     """
-    from sda_tpu.ops.mxu import limbs7_host
-
     m_normal = np.asarray(m_normal, dtype=object)
     n = m_normal.shape[1]
     L7 = mxu.L7
     r2l = 2 * L7  # raw double-width limbs per rand slot
-    mlimbs = limbs7_host(m_normal, L7)  # [m, n, L7]
     big = np.zeros((n_pad, 8 * words_per_p), dtype=np.int8)
+    cache: dict[tuple[int, int], np.ndarray] = {}
     for idx in range(rand_count * r2l):
         slot, l1 = k + idx // r2l, idx % r2l
         w, b = idx // 4, idx % 4
         for carry in (0, 1):
             col = (b * 2 + carry) * words_per_p + w
-            for i in range(n):
-                for l2 in range(L7):
-                    big[i * cols + (l1 + carry + l2), col] = mlimbs[slot, i, l2]
+            got = cache.get((slot, l1 + carry))
+            if got is None:
+                got = _reduced_row(mxu, m_normal[slot], _W7 * (l1 + carry))
+                cache[(slot, l1 + carry)] = got
+            big[: n * L7, col] = got
     return big
 
 
@@ -153,9 +181,63 @@ def _chunk_consts_u32(mxu: MxuContext, n_chunks: int) -> np.ndarray:
     return to_limbs(np.array(vals, dtype=object), ctx.L).astype(np.uint32)
 
 
+def _reduce_acc(mxu, consts_ref, acc, n: int, const_base: int):
+    """``acc[n·L7(+pad), T] int32`` -> list of L16 canonical ``[n, T]`` u32.
+
+    The accumulator's ``L7`` columns per clerk carry weights ``2^{7·l2}``:
+    carry-propagate to 7-bit limbs (residual carry < 2^25 → 4 extra limbs),
+    regroup into canonical chunks of ``chunk`` limbs, fold with precomputed
+    Montgomery constants (rows ``const_base..`` of ``consts_ref``).
+    """
+    ctx = mxu.ctx
+    L7 = mxu.L7
+    T = acc.shape[-1]
+    accu = acc[: n * L7].astype(jnp.uint32).reshape(n, L7, T)
+    zero = jnp.zeros((n, T), dtype=jnp.uint32)
+    limbs, carry = [], zero
+    for c in range(L7):
+        t = accu[:, c, :] + carry
+        limbs.append(t & _MASK7)
+        carry = t >> _W7
+    for _ in range(4):  # residual carry < 2^25
+        limbs.append(carry & _MASK7)
+        carry = carry >> _W7
+    n_chunks = -(-len(limbs) // mxu.chunk)
+    res = None
+    for t in range(n_chunks):
+        group = limbs[t * mxu.chunk : (t + 1) * mxu.chunk]
+        lanes16 = [zero] * ctx.L
+        for j, b in enumerate(group):
+            o = _W7 * j
+            w, sh = o // _W16, o % _W16
+            lanes16[w] = lanes16[w] | ((b << sh) & _MASK16)
+            if sh + _W7 > _W16 and w + 1 < ctx.L:
+                lanes16[w + 1] = lanes16[w + 1] | (b >> (_W16 - sh))
+        term = ctx.mont_mul_lanes(
+            lanes16, [consts_ref[const_base + t, l] for l in range(ctx.L)]
+        )
+        res = term if res is None else ctx.add_mod_lanes(res, term)
+    return res
+
+
+def _limbs7_planes(mxu, res, n: int):
+    """Canonical L16 lanes (list of ``[n, T]`` u32) -> ``[n·L7, T]`` int8."""
+    ctx = mxu.ctx
+    planes = []
+    for l7 in range(mxu.L7):
+        o = _W7 * l7
+        w, sh = o // _W16, o % _W16
+        v = res[w] >> sh
+        if sh + _W7 > _W16 and w + 1 < ctx.L:
+            v = v | (res[w + 1] << (_W16 - sh))
+        planes.append((v & _MASK7).astype(jnp.int8))
+    # [L7, n, T] -> [n, L7, T] -> [n·L7, T] to match _big_rows row order
+    return jnp.stack(planes, axis=1).reshape(n * mxu.L7, res[0].shape[-1])
+
+
 def _mxu_fused_kernel(
-    mxu, n, cols, kr, rand_groups, n_chunks, out7, rand_sum,
-    seed_ref, consts_ref, bigs_ref, bigr_ref, sec_ref, out_ref,
+    mxu, n, kr, rand_groups, out7, rand_sum, n2,
+    seed_ref, consts_ref, bigs_ref, bigr_ref, big2_ref, sec_ref, out_ref,
 ):
     ctx = mxu.ctx
     T = sec_ref.shape[-1]
@@ -167,33 +249,36 @@ def _mxu_fused_kernel(
         # rand-sum mode: Σ_p R·rand_p = R·(Σ_p rand_p). Draw every
         # participant's raw limbs, but sum them over participants in packed
         # u32 lanes (limbs 0/2 of each PRNG word in accE bits 0-13/14-27,
-        # limbs 1/3 in accO; P ≤ 129 keeps each 14-bit field carry-free),
-        # then contract once with the P-independent bigRsum — the MXU work
-        # for randomness drops from O(P·r·2L7) to O(8·r·2L7/4) rows.
-        p_count, words_per_p, pg = rand_sum
+        # limbs 1/3 in accO; group size ≤ 129 keeps each 14-bit field
+        # carry-free), then contract once per group with the P-independent
+        # bigRsum — the MXU work for randomness drops from O(P·r·2L7) to
+        # O(G·8·r·2L7/4) rows. Participant counts above 129 split into G
+        # equal carry-save groups, each with its own contraction.
+        p_count, words_per_p, pg, groups = rand_sum
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         mask2 = jnp.uint32(_MASK7 | (_MASK7 << 14))
-        accE = jnp.zeros((words_per_p, T), jnp.uint32)
-        accO = jnp.zeros((words_per_p, T), jnp.uint32)
-        for _ in range(p_count // pg):
-            w = pltpu.bitcast(
-                pltpu.prng_random_bits((pg * words_per_p, T)), jnp.uint32
-            ).reshape(pg, words_per_p, T)
-            # unrolled adds: Mosaic has no unsigned-reduce lowering
-            for j in range(pg):
-                accE = accE + (w[j] & mask2)
-                accO = accO + ((w[j] >> 7) & mask2)
-        sums = [accE & 0x3FFF, accO & 0x3FFF, accE >> 14, accO >> 14]
-        rand2 = jnp.concatenate(
-            [part for s in sums
-             for part in ((s & _MASK7).astype(jnp.int8),
-                          (s >> _W7).astype(jnp.int8))],
-            axis=0,
-        )  # [8·words_per_p, T]: (limb-in-word b, carry) blocks, word-major
-        acc = acc + jax.lax.dot_general(
-            bigr_ref[...], rand2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        for _g in range(groups):
+            accE = jnp.zeros((words_per_p, T), jnp.uint32)
+            accO = jnp.zeros((words_per_p, T), jnp.uint32)
+            for _ in range(p_count // groups // pg):
+                w = pltpu.bitcast(
+                    pltpu.prng_random_bits((pg * words_per_p, T)), jnp.uint32
+                ).reshape(pg, words_per_p, T)
+                # unrolled adds: Mosaic has no unsigned-reduce lowering
+                for j in range(pg):
+                    accE = accE + (w[j] & mask2)
+                    accO = accO + ((w[j] >> 7) & mask2)
+            sums = [accE & 0x3FFF, accO & 0x3FFF, accE >> 14, accO >> 14]
+            rand2 = jnp.concatenate(
+                [part for s in sums
+                 for part in ((s & _MASK7).astype(jnp.int8),
+                              (s >> _W7).astype(jnp.int8))],
+                axis=0,
+            )  # [8·words_per_p, T]: (limb-in-word b, carry) blocks, word-major
+            acc = acc + jax.lax.dot_general(
+                bigr_ref[...], rand2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
     elif kr:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         # randomness is generated and contracted in groups so the VMEM
@@ -222,32 +307,18 @@ def _mxu_fused_kernel(
             )
     # epilogue, vectorised over the clerk axis: every op below runs on
     # [n, T] blocks (one instruction drives all clerks' lanes at once)
-    accu = acc[: n * cols].astype(jnp.uint32).reshape(n, cols, T)
-    zero = jnp.zeros((n, T), dtype=jnp.uint32)
-    # carry-propagate the redundant base-2^7 columns (carry < 2^25)
-    limbs, carry = [], zero
-    for c in range(cols):
-        t = accu[:, c, :] + carry
-        limbs.append(t & _MASK7)
-        carry = t >> _W7
-    for _ in range(4):  # residual carry < 2^25
-        limbs.append(carry & _MASK7)
-        carry = carry >> _W7
-    # canonical chunks of `chunk` limbs -> L16 lanes -> Montgomery fold
-    res = None
-    for t in range(n_chunks):
-        group = limbs[t * mxu.chunk : (t + 1) * mxu.chunk]
-        lanes16 = [zero] * ctx.L
-        for j, b in enumerate(group):
-            o = _W7 * j
-            w, sh = o // _W16, o % _W16
-            lanes16[w] = lanes16[w] | ((b << sh) & _MASK16)
-            if sh + _W7 > _W16 and w + 1 < ctx.L:
-                lanes16[w + 1] = lanes16[w + 1] | (b >> (_W16 - sh))
-        term = ctx.mont_mul_lanes(
-            lanes16, [consts_ref[t, l] for l in range(ctx.L)]
+    res = _reduce_acc(mxu, consts_ref, acc, n, 0)
+    if n2:
+        # in-kernel reconstruction: re-split the canonical combined limbs
+        # and contract against the reduced second-stage matrix — the full
+        # share→combine→reconstruct pipeline in one dispatch
+        c7 = _limbs7_planes(mxu, res, n)
+        acc2 = jax.lax.dot_general(
+            big2_ref[...], c7, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
         )
-        res = term if res is None else ctx.add_mod_lanes(res, term)
+        res = _reduce_acc(mxu, consts_ref, acc2, n2, 0)
+        n = n2
     if out7:
         # emit compact 7-bit int8 limbs (feeds a follow-up MXU matmul —
         # e.g. reconstruction — with 40% less HBM traffic than u32)
@@ -273,13 +344,15 @@ def fused_share_combine_mxu(
     seed=0,
     lanes: int = 512,
     out7: bool = False,
+    reconstruct_matrix=None,  # optional [n, k2]: fuse a second modmat
     interpret: bool = False,
 ):
     """Fused MXU share+combine. Returns ``[n, L16, NBP]`` canonical u32
     limbs, or ``[n, L7, NBP]`` canonical int8 7-bit limbs with ``out7=True``
     (ready to feed back in as the input of a follow-up call — e.g.
     reconstruction, which is the same modular matmul with ``p_count=1``,
-    ``k=n``, ``rand_count=0``).
+    ``k=n``, ``rand_count=0``). With ``reconstruct_matrix`` the second
+    modmat runs in-kernel and the result is ``[k2, L16, NBP]``.
 
     If ``sec_planar`` carries ``k`` slots per participant, randomness is
     drawn raw in-kernel from ``seed``; if it carries ``k + rand_count``
@@ -302,24 +375,24 @@ def fused_share_combine_mxu(
         raise ValueError("sec_planar rows match neither k nor k+r slots")
 
     # rand-sum mode: sum raw randomness over participants in-lane, contract
-    # once (P-independent MXU work). Needs every 14-bit carry-save field to
-    # stay below 2^14 = P·127 bound, i.e. P ≤ 129.
+    # once per carry-save group (P-independent MXU work). Every 14-bit
+    # carry-save field must stay below 2^14 ≥ group·127, i.e. groups of
+    # ≤ 129 participants; G must divide P evenly.
     rand_sum = None
-    if has_prng and rand_count and p_count <= 129:
-        words_per_p = -(-(rand_count * 2 * L7) // 4)
-        pg = max(d for d in range(1, min(16, p_count) + 1) if p_count % d == 0)
-        rand_sum = (p_count, words_per_p, pg)
+    if has_prng and rand_count:
+        groups = -(-p_count // 129)
+        if p_count % groups == 0:
+            gsize = p_count // groups
+            words_per_p = -(-(rand_count * 2 * L7) // 4)
+            pg = max(d for d in range(1, min(16, gsize) + 1) if gsize % d == 0)
+            rand_sum = (p_count, words_per_p, pg, groups)
 
-    # output-column count: widest input slot + L7 - 1 (shared stride);
-    # rand-sum carry limbs shift one position further
-    slot_limbs_max = 2 * L7 if (has_prng and rand_count) else L7
-    cols = slot_limbs_max + L7 - 1 + (1 if rand_sum else 0)
-    n_pad = -(-(n * cols) // 32) * 32  # int8 sublane tile
+    n_pad = -(-(n * L7) // 32) * 32  # int8 sublane tile
     # contraction / accumulator bound (int32): K * 127^2 < 2^31
     if rand_sum:
-        # summed randomness contracts over 8·words_per_p int8 rows, but each
-        # lo/hi carry limb is ≤ 127 like any other operand
-        K_total = p_count * k * L7 + 8 * rand_sum[1]
+        # summed randomness contracts over 8·words_per_p int8 rows per
+        # group, but each lo/hi carry limb is ≤ 127 like any other operand
+        K_total = p_count * k * L7 + rand_sum[3] * 8 * rand_sum[1]
     else:
         K_total = p_count * (k * L7 + rand_count * (2 * L7 if has_prng else L7))
     if K_total * _MASK7 * _MASK7 >= (1 << 31):
@@ -332,19 +405,19 @@ def fused_share_combine_mxu(
     bigs = _big_rows(
         mxu, share_matrix,
         [j for _ in range(p_count) for j in sec_slots],
-        [L7] * (p_count * len(sec_slots)), cols, n_pad,
+        [L7] * (p_count * len(sec_slots)), n_pad,
     )
     rand_groups = 1
     if rand_sum:
         bigr = _big_rows_randsum(
-            mxu, share_matrix, k, rand_count, cols, n_pad, rand_sum[1]
+            mxu, share_matrix, k, rand_count, n_pad, rand_sum[1]
         )
         kr = p_count * rand_count * 2 * L7
     elif has_prng and rand_count:
         bigr = _big_rows(
             mxu, share_matrix,
             [k + j for _ in range(p_count) for j in range(rand_count)],
-            [2 * L7] * (p_count * rand_count), cols, n_pad,
+            [2 * L7] * (p_count * rand_count), n_pad,
         )
         kr = p_count * rand_count * 2 * L7
         # group size: keep each in-VMEM randomness block under ~1.5 MB
@@ -369,15 +442,27 @@ def fused_share_combine_mxu(
         bigr = np.zeros((n_pad, 32), dtype=np.int8)  # unused placeholder
         kr = 0
 
-    total_limbs = cols + 4
-    n_chunks = -(-total_limbs // mxu.chunk)
-    consts = _chunk_consts_u32(mxu, n_chunks)
+    n_chunks1 = -(-(L7 + 4) // mxu.chunk)
+    n2 = 0
+    if reconstruct_matrix is not None:
+        if out7:
+            raise ValueError("out7 and reconstruct_matrix are exclusive")
+        rec = np.asarray(reconstruct_matrix, dtype=object)
+        if rec.shape[0] != n:
+            raise ValueError("reconstruct_matrix rows must equal share count")
+        n2 = rec.shape[1]
+        n_pad2 = -(-(n2 * L7) // 32) * 32
+        big2 = _big_rows(mxu, rec, list(range(n)), [L7] * n, n_pad2)
+    else:
+        big2 = np.zeros((32, 32), dtype=np.int8)  # unused placeholder
+    # both stages fold (L7+4)-limb accumulators -> one shared const table
+    consts = _chunk_consts_u32(mxu, n_chunks1)
 
     kernel = functools.partial(
-        _mxu_fused_kernel, mxu, n, cols, kr, rand_groups, n_chunks, out7,
-        rand_sum,
+        _mxu_fused_kernel, mxu, n, kr, rand_groups, out7, rand_sum, n2,
     )
     grid = (nbp // lanes,)
+    n_out = n2 if n2 else n
     out_limbs = mxu.L7 if out7 else mxu.ctx.L
     out_dtype = jnp.int8 if out7 else jnp.uint32
     return pl.pallas_call(
@@ -388,19 +473,21 @@ def fused_share_combine_mxu(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk consts
             pl.BlockSpec(bigs.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(bigr.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(big2.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (rows, lanes), lambda t: (0, t), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (n, out_limbs, lanes), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+            (n_out, out_limbs, lanes), lambda t: (0, 0, t), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, out_limbs, nbp), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_out, out_limbs, nbp), out_dtype),
         interpret=interpret,
     )(
         jnp.asarray([seed], dtype=jnp.int32),
         jnp.asarray(consts),
         jnp.asarray(bigs),
         jnp.asarray(bigr),
+        jnp.asarray(big2),
         sec_planar,
     )

@@ -212,6 +212,23 @@ class Stores:
         return proto.Aggregation.from_obj(obj) if obj else None
 
     def delete_aggregation(self, aggregation: str) -> None:
+        """Delete ALL information about the aggregation, including snapshots,
+        masks, clerking jobs, and results (the methods.rs:94-95 contract:
+        "Delete all information (including results)")."""
+        committee = self.get_committee(aggregation)
+        clerks = [c for c, _ in committee.clerks_and_keys] if committee else []
+        for sid in self.list_snapshots(aggregation):
+            self._kv.delete("snapshot_contents", sid)
+            self._kv.delete("snapshot_masks", sid)
+            for job in self._kv.keys(f"jobs/results/{sid}"):
+                self._kv.delete(f"jobs/results/{sid}", job)
+            self._kv.delete(f"snapshots/{aggregation}", sid)
+        for clerk in clerks:
+            for state in ("queue", "done"):
+                for jid in self._kv.keys(f"jobs/{state}/{clerk}"):
+                    obj = self._kv.get(f"jobs/{state}/{clerk}", jid)
+                    if obj and obj.get("aggregation") == aggregation:
+                        self._kv.delete(f"jobs/{state}/{clerk}", jid)
         self._kv.delete("aggregations", aggregation)
         self._kv.delete("committees", aggregation)
         for pid in self._kv.keys(f"participations/{aggregation}"):
@@ -236,20 +253,19 @@ class Stores:
         return len(self._kv.keys(f"participations/{aggregation}"))
 
     def create_snapshot(self, snapshot: proto.Snapshot) -> None:
-        self._kv.create("snapshots", snapshot.id, snapshot.to_obj())
+        # namespaced per aggregation: list_snapshots is O(own snapshots)
+        # instead of a scan of every aggregation's (it sits on the
+        # get_aggregation_status path recipients poll in a loop)
+        self._kv.create(
+            f"snapshots/{snapshot.aggregation}", snapshot.id, snapshot.to_obj()
+        )
 
     def list_snapshots(self, aggregation: str) -> list[str]:
-        return [
-            sid
-            for sid in self._kv.keys("snapshots")
-            if (self._kv.get("snapshots", sid) or {}).get("aggregation") == aggregation
-        ]
+        return self._kv.keys(f"snapshots/{aggregation}")
 
     def get_snapshot(self, aggregation: str, snapshot: str) -> Optional[proto.Snapshot]:
-        obj = self._kv.get("snapshots", snapshot)
-        if obj and obj.get("aggregation") == aggregation:
-            return proto.Snapshot.from_obj(obj)
-        return None
+        obj = self._kv.get(f"snapshots/{aggregation}", snapshot)
+        return proto.Snapshot.from_obj(obj) if obj else None
 
     def snapshot_participations(self, aggregation: str, snapshot: str) -> None:
         """Freeze the current participation id set (aggregations.rs:110-121)."""

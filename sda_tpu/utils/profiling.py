@@ -28,7 +28,7 @@ import tempfile
 import time
 from dataclasses import dataclass
 
-__all__ = ["device_time", "roofline", "ChipSpec", "V5E"]
+__all__ = ["device_time", "roofline", "ChipSpec", "V5E", "detect_chip"]
 
 
 def device_time(fn, iters: int = 10, warmup: int = 1):
@@ -117,18 +117,55 @@ class ChipSpec:
 
 V5E = ChipSpec(name="TPU v5e", hbm_gbps=819.0, int8_tops=394.0, vpu_gops=3760.0)
 
+# Published peaks per generation (int8 = 2x bf16 where the MXU supports it;
+# v4 and earlier have no int8 fast path so bf16 peak is used). VPU numbers
+# are rough scalings of the v5e figure by ALU count x clock.
+_CHIP_SPECS = {
+    "v4": ChipSpec(name="TPU v4", hbm_gbps=1228.0, int8_tops=275.0, vpu_gops=4300.0),
+    "v5 lite": V5E,
+    "v5e": V5E,
+    "v5p": ChipSpec(name="TPU v5p", hbm_gbps=2765.0, int8_tops=918.0, vpu_gops=7000.0),
+    "v5": ChipSpec(name="TPU v5p", hbm_gbps=2765.0, int8_tops=918.0, vpu_gops=7000.0),
+    "v6 lite": ChipSpec(name="TPU v6e", hbm_gbps=1640.0, int8_tops=1836.0, vpu_gops=7400.0),
+    "v6e": ChipSpec(name="TPU v6e", hbm_gbps=1640.0, int8_tops=1836.0, vpu_gops=7400.0),
+}
+
+
+def detect_chip() -> ChipSpec:
+    """ChipSpec for the attached accelerator (``device_kind`` lookup).
+
+    Longest-matching key in the spec table wins (e.g. "TPU v5 lite" must hit
+    "v5 lite", not "v5"). Unknown chips fall back to v5e ceilings with the
+    real name preserved, so reported fractions are visibly approximate.
+    """
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    best = None
+    for key, spec in _CHIP_SPECS.items():
+        if key in kind and (best is None or len(key) > len(best[0])):
+            best = (key, spec)
+    if best:
+        return best[1]
+    from dataclasses import replace
+
+    return replace(V5E, name=f"{kind} (unknown; v5e ceilings)")
+
 
 def roofline(
     seconds: float,
     hbm_bytes: float = 0.0,
     mxu_int8_ops: float = 0.0,
     vpu_u32_ops: float = 0.0,
-    chip: ChipSpec = V5E,
+    chip: ChipSpec | None = None,
 ) -> dict:
     """Achieved fraction of each ceiling + the binding resource.
 
     ``mxu_int8_ops`` counts multiply-adds as 2 ops (matmul convention).
+    ``chip=None`` detects the attached chip's ceilings.
     """
+    if chip is None:
+        chip = detect_chip()
     util = {
         "hbm": hbm_bytes / seconds / 1e9 / chip.hbm_gbps if hbm_bytes else 0.0,
         "mxu_int8": mxu_int8_ops / seconds / 1e12 / chip.int8_tops if mxu_int8_ops else 0.0,

@@ -133,3 +133,70 @@ def test_auth_token_lifecycle(service):
     server.delete_auth_token(agent.id)
     with pytest.raises(InvalidCredentials):
         server.check_auth_token(token)
+
+
+def test_delete_aggregation_cascades_everything():
+    """methods.rs:94-95: "Delete all information (including results)" —
+    snapshots, snapshot contents/masks, clerking jobs (queued AND done),
+    and results must all go, not just the aggregation + participations."""
+    from sda_tpu.server import SdaServer
+    from sda_tpu.stores import MemoryStores
+
+    stores = MemoryStores()
+    server = SdaServer(stores)
+    agg = proto.Aggregation(
+        id=proto.new_id(),
+        title="cascade",
+        vector_dimension=4,
+        modulus=433,
+        recipient=proto.new_id(),
+        recipient_key=proto.new_id(),
+        masking_scheme=proto.NoMasking(),
+        committee_sharing_scheme=proto.AdditiveSharing(share_count=2, modulus=433),
+    )
+    server.create_aggregation(agg)
+    clerks = [proto.new_id(), proto.new_id()]
+    server.create_committee(
+        proto.Committee(
+            aggregation=agg.id,
+            clerks_and_keys=tuple((c, proto.new_id()) for c in clerks),
+        )
+    )
+    for _ in range(3):
+        server.create_participation(
+            proto.Participation(
+                id=proto.new_id(),
+                participant=proto.new_id(),
+                aggregation=agg.id,
+                recipient_encryption=None,
+                clerk_encryptions=tuple(
+                    (c, proto.Encryption(data=b"x")) for c in clerks
+                ),
+            )
+        )
+    snap = proto.Snapshot(id=proto.new_id(), aggregation=agg.id)
+    server.create_snapshot(snap)
+    # clerk 0 completes its job; clerk 1's stays queued
+    job = stores.poll_clerking_job(clerks[0])
+    stores.create_clerking_result(
+        proto.ClerkingResult(
+            job=job.id, clerk=clerks[0], encryption=proto.Encryption(data=b"r")
+        )
+    )
+    assert stores.list_snapshots(agg.id) == [snap.id]
+    assert stores.list_results(snap.id) == [job.id]
+    assert stores.poll_clerking_job(clerks[1]) is not None
+
+    server.delete_aggregation(agg.id)
+
+    assert stores.get_aggregation(agg.id) is None
+    assert stores.get_committee(agg.id) is None
+    assert stores.count_participations(agg.id) == 0
+    assert stores.list_snapshots(agg.id) == []
+    assert stores.get_snapshot(agg.id, snap.id) is None
+    assert stores.list_results(snap.id) == []
+    assert stores.get_snapshot_mask(snap.id) is None
+    assert stores.count_participations_snapshot(agg.id, snap.id) == 0
+    for c in clerks:
+        assert stores.poll_clerking_job(c) is None
+        assert stores.get_clerking_job(c, job.id) is None

@@ -75,3 +75,53 @@ def test_sample_range(rng):
     fbig = PrimeField((1 << 89) - 1)
     sb = fbig.sample((16,), rng=rng)
     assert all(0 <= int(x) < fbig.p for x in sb)
+
+
+def test_sample_default_is_os_csprng(monkeypatch):
+    """Protocol-path randomness must come from the OS CSPRNG, never a
+    statistical PRG (reference draws every element from OsRng,
+    additive.rs:42-44, full.rs:22-35). Pins that ``sample(rng=None)`` reads
+    os.urandom for small AND large fields, and that the bytes it got are the
+    bytes it used (zone rejection / floor-mod replayed host-side)."""
+    import sda_tpu.fields as fields_mod
+
+    calls = []
+    fixed = bytes(range(256)) * 64
+
+    def fake_urandom(n):
+        calls.append(n)
+        return fixed[:n]
+
+    monkeypatch.setattr(fields_mod, "_urandom", fake_urandom)
+
+    f = fields_mod.PrimeField(433)
+    out = f.sample((5,))
+    assert calls, "small-field sample(rng=None) did not read os.urandom"
+    words = np.frombuffer(fixed[: (5 + 4) * 8], dtype=np.uint64)
+    zone = (1 << 64) - ((1 << 64) % 433)
+    accepted = [int(w) % 433 for w in words if int(w) < zone][:5]
+    assert list(out) == accepted
+
+    calls.clear()
+    fbig = fields_mod.PrimeField((1 << 89) - 1)
+    outb = fbig.sample((3,))
+    assert calls, "big-field sample(rng=None) did not read os.urandom"
+    nbytes = (fbig.p.bit_length() + 64 + 7) // 8
+    expect = [
+        int.from_bytes(fixed[i * nbytes : (i + 1) * nbytes], "little") % fbig.p
+        for i in range(3)
+    ]
+    assert [int(x) for x in outb] == expect
+
+    # masking and sharing default paths reach the CSPRNG too
+    calls.clear()
+    from sda_tpu.masking import FullMasker
+
+    FullMasker(433).mask(np.array([1, 2, 3], dtype=np.int64))
+    assert calls, "FullMasker.mask did not use the OS CSPRNG"
+
+    calls.clear()
+    from sda_tpu.sharing import AdditiveScheme
+
+    AdditiveScheme(share_count=3, modulus=433).share_vector(np.array([1, 2], dtype=np.int64))
+    assert calls, "additive share_vector did not use the OS CSPRNG"

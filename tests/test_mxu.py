@@ -168,6 +168,24 @@ def test_mxu_kernel_reconstruct_only_exact(rng):
     assert jnp.array_equal(batched_from_planar16(rec, engine.nb), golden)
 
 
+def test_mxu_kernel_fused_reconstruct_exact(rng):
+    """``reconstruct_matrix=``: share+combine+reconstruct in one dispatch
+    is bit-exact vs the two-call path and the jnp pipeline."""
+    d, p_count = 24, 4
+    engine = TpuAggregationEngine(_scheme64().device_spec(), d)
+    _, enc = _example(engine, p_count, d, rng)
+    rand = jnp.asarray(engine.random_ext(p_count, rng=rng))
+    ext = jnp.concatenate([enc, rand], axis=2)
+    golden = engine.aggregate(enc, rand)
+    sec7 = engine.planar7_ext(ext, lanes=128)
+    spec = engine.spec
+    rec = fused_share_combine_mxu(
+        engine.mxu, spec.share_matrix, sec7, p_count, 3, 4, lanes=128,
+        reconstruct_matrix=spec.reconstruct_matrix,
+    )
+    assert jnp.array_equal(batched_from_planar16(rec, engine.nb), golden)
+
+
 def test_mxu_kernel_128bit_protocol_exact(rng):
     """BASELINE config 3 field: 125-bit modulus, 18 int8 limbs, L16=8."""
     from sda_tpu.models import FederatedAggregation
@@ -258,14 +276,13 @@ def test_randsum_carry_save_alignment(bits, rng):
     L7, n, k, r = mxu.L7, 8, 3, 4
     r2l = 2 * L7
     words_per_p = -(-(r * r2l) // 4)
-    cols = 2 * L7 + L7 - 1 + 1  # driver's rand-sum column stride
-    n_pad = -(-(n * cols) // 32) * 32
+    n_pad = -(-(n * L7) // 32) * 32  # reduced layout: L7 columns per clerk
     M = np.array(
         [[int(rng.integers(0, p & 0x7FFFFFFFFFFFFFFF)) % p for _ in range(n)]
          for _ in range(k + r)],
         dtype=object,
     )
-    big = _big_rows_randsum(mxu, M, k, r, cols, n_pad, words_per_p)
+    big = _big_rows_randsum(mxu, M, k, r, n_pad, words_per_p)
 
     P = 129  # the carry-save bound: 129 * 127 < 2^14
     words = rng.integers(0, 1 << 32, size=(P, words_per_p), dtype=np.uint64)
@@ -280,7 +297,7 @@ def test_randsum_carry_save_alignment(bits, rng):
     acc = big.astype(np.int64).T.T @ rand2  # int8 values are exact in int64
 
     for i in range(n):
-        digits = acc[i * cols : (i + 1) * cols]
+        digits = acc[i * L7 : (i + 1) * L7]
         got = sum(int(d) << (7 * j) for j, d in enumerate(digits)) % p
         expect = 0
         for pp in range(P):
