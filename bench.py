@@ -67,7 +67,7 @@ def _bench_headline(dimension: int, participants: int):
         )
 
     secrets = make_secrets(jax.random.key(7))
-    lanes = 512
+    lanes = 1024
     sec7 = jax.jit(lambda x: engine.planar7_secrets(x, lanes))(secrets)
     sec7.block_until_ready()
 
@@ -84,7 +84,27 @@ def _bench_headline(dimension: int, participants: int):
     ref = jax.jit(lambda s: engine.ctx.sum_mod(s, axis=0))(secrets)
     if not bool(jnp.array_equal(out, ref)):
         raise AssertionError("MXU-kernel reveal != modular participant sum")
-    return dt, model
+
+    # roofline: achieved fraction of the detected chip's ceilings
+    from sda_tpu.utils.profiling import roofline
+
+    mxu = engine.mxu
+    spec = engine.spec
+    L7 = mxu.L7
+    k, r, n = spec.secret_count, spec.randomness_count, spec.share_count
+    nbp = sec7.shape[1]
+    n_pad = -(-(n * L7) // 32) * 32
+    words_per_p = -(-(r * 2 * L7) // 4)
+    groups = -(-participants // 129)
+    mxu_ops = 2.0 * nbp * (
+        n_pad * (participants * k * L7 + groups * 8 * words_per_p)  # stage 1
+        + 32 * n * L7  # in-kernel reconstruction
+    )
+    # carry-save randomness accumulation (5 VPU ops/word) + epilogues
+    vpu_ops = nbp * (participants * words_per_p * 5.0 + 40.0 * n * L7)
+    hbm = sec7.size + out.size * out.dtype.itemsize
+    rep = roofline(dt, hbm_bytes=hbm, mxu_int8_ops=mxu_ops, vpu_u32_ops=vpu_ops)
+    return dt, model, rep
 
 
 def _bench_config2():
@@ -166,7 +186,7 @@ def _bench_config4_streaming(dimension: int):
     model = FederatedAggregation.packed_64bit(dimension=dimension)
     engine = model.engine
     mxu = engine.mxu
-    lanes = 512
+    lanes = 1024
     nbp = -(-engine.nb // lanes) * lanes
     rows = p_chunk * engine.spec.secret_count * mxu.L7
 
@@ -220,8 +240,8 @@ def _bench_host_baseline(dimension: int, participants: int):
 
 def main():
     dimension = 1_000_002  # divisible by secret_count=3
-    participants = 128  # VMEM-optimal chunk for the fused kernel at 512 lanes
-    dt, model = _bench_headline(dimension, participants)
+    participants = 128  # VMEM-optimal chunk for the fused kernel at 1024 lanes
+    dt, model, rep = _bench_headline(dimension, participants)
     aggs_per_s = participants / dt
     fieldops = _fieldops(model.engine, participants)
     print(
@@ -229,6 +249,7 @@ def main():
         f"({aggs_per_s:.0f} aggregations/s, {fieldops/dt/1e9:.2f} Gfield-ops/s)",
         file=sys.stderr,
     )
+    print(f"# roofline: {json.dumps(rep)}", file=sys.stderr)
     _bench_config2()
     _bench_config3()
     _bench_config4_streaming(dimension)
@@ -241,6 +262,10 @@ def main():
                 "value": round(aggs_per_s, 3),
                 "unit": "participants/s",
                 "vs_baseline": round(host_dt / dt, 2),
+                "chip": rep["chip"],
+                "binding_resource": rep["binding_resource"],
+                "fraction_of_sol": rep["fraction_of_sol"],
+                "utilization": rep["utilization"],
             }
         )
     )

@@ -1,11 +1,11 @@
 """Per-kernel roofline report for the headline configuration.
 
 For each stage of the MXU aggregation pipeline this prints the achieved
-fraction of the chip's HBM / MXU-int8 / VPU ceilings and the distance to
-speed-of-light (BASELINE: "speed-of-light modular kernels"). Run on a real
-chip; numbers come from device trace events, not wall clock.
+fraction of the detected chip's HBM / MXU-int8 / VPU ceilings and the
+distance to speed-of-light (BASELINE: "speed-of-light modular kernels").
+Run on a real chip; numbers come from device trace events, not wall clock.
 
-Usage: python bench_roofline.py [--dimension 1000002] [--participants 32]
+Usage: python bench_roofline.py [--dimension 1000002] [--participants 128]
 """
 
 from __future__ import annotations
@@ -18,7 +18,8 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dimension", type=int, default=1_000_002)
-    ap.add_argument("--participants", type=int, default=32)
+    ap.add_argument("--participants", type=int, default=128)
+    ap.add_argument("--lanes", type=int, default=1024)
     args = ap.parse_args()
 
     import jax
@@ -26,72 +27,72 @@ def main() -> int:
 
     from sda_tpu.models import FederatedAggregation
     from sda_tpu.ops.modmat import uniform_limbs
-    from sda_tpu.utils.profiling import V5E, device_time, roofline
+    from sda_tpu.utils.profiling import detect_chip, device_time, roofline
 
     model = FederatedAggregation.packed_64bit(dimension=args.dimension)
     engine = model.engine
     mxu = engine.mxu
     spec = engine.spec
-    P, nb = args.participants, engine.nb
+    P, lanes = args.participants, args.lanes
     k, r, n = spec.secret_count, spec.randomness_count, spec.share_count
-    L7, L16 = mxu.L7, engine.ctx.L
+    L7 = mxu.L7
+    chip = detect_chip()
+    print(f"# chip: {chip.name}", file=sys.stderr)
 
     secrets = jax.jit(
-        lambda key: uniform_limbs(engine.ctx, key, (P, nb, k))
+        lambda key: uniform_limbs(engine.ctx, key, (P, engine.nb, k))
     )(jax.random.key(7))
-    sec7 = jax.jit(lambda x: engine.planar7_secrets(x, 1024))(secrets)
+    sec7 = jax.jit(lambda x: engine.planar7_secrets(x, lanes))(secrets)
     sec7.block_until_ready()
     nbp = sec7.shape[1]
 
-    # ---- stage 1: fused share + combine (the MXU kernel)
-    from sda_tpu.ops.mxu_kernel import fused_share_combine_mxu
-
-    @jax.jit
-    def share_combine(sec7, seed):
-        return fused_share_combine_mxu(
-            mxu, spec.share_matrix, sec7, P, k, r, seed=seed, lanes=1024, out7=True
-        )
-
-    dt, comb7 = device_time(
-        lambda i: share_combine(sec7, jnp.asarray(i, jnp.int32)), iters=10
-    )
-    cols = 3 * L7  # widest slot (2*L7 raw rand) + L7 - 1 + rand-sum carry
-    n_pad = -(-(n * cols) // 32) * 32
-    # rand-sum mode (P <= 129): randomness contracts over 8*ceil(r*2L7/4)
-    # P-independent rows instead of P*r*2L7
+    # reduced big-matrix accounting (sda_tpu/ops/mxu_kernel.py): stage-1
+    # output is n_pad = roundup(n*L7, 32) rows; rand-sum contracts
+    # groups * 8 * ceil(r*2L7/4) P-independent rows; the in-kernel
+    # reconstruction contracts n*L7 rows into roundup(k*L7, 32)
+    n_pad = -(-(n * L7) // 32) * 32
+    n_pad2 = -(-(k * L7) // 32) * 32
     words_per_p = -(-(r * 2 * L7) // 4)
-    mxu_ops = 2.0 * nbp * n_pad * (P * k * L7 + 8 * words_per_p)
-    hbm = sec7.size + comb7.size
-    rep = roofline(dt, hbm_bytes=hbm, mxu_int8_ops=mxu_ops)
-    print(f"# share+combine: {dt*1e3:.2f} ms  {json.dumps(rep)}", file=sys.stderr)
+    groups = -(-P // 129)
 
-    # ---- stage 2: reconstruction (same kernel, p_count=1)
-    c7flat = comb7.reshape(-1, comb7.shape[-1])
+    # ---- stage 1+2 fused: share + combine + reconstruct (one dispatch)
+    dt, out = device_time(
+        lambda i: engine.aggregate_mxu_kernel(
+            sec7, jnp.asarray(i, jnp.int32), p_count=P, lanes=lanes
+        ),
+        iters=10,
+    )
+    mxu_ops = 2.0 * nbp * (
+        n_pad * (P * k * L7 + groups * 8 * words_per_p) + n_pad2 * n * L7
+    )
+    vpu_ops = nbp * (P * words_per_p * 5.0 + 40.0 * n * L7)
+    hbm = sec7.size + out.size * 4
+    rep = roofline(dt, hbm_bytes=hbm, mxu_int8_ops=mxu_ops, vpu_u32_ops=vpu_ops)
+    print(f"# full pipeline: {dt*1e3:.2f} ms  {json.dumps(rep)}", file=sys.stderr)
 
-    @jax.jit
-    def rec(c7, seed):
-        out = fused_share_combine_mxu(
-            mxu, spec.reconstruct_matrix, c7, 1, n, 0, lanes=1024
-        )
-        return out + (seed & 0)  # seed keeps every timed execution distinct
+    # ---- combined-only variant (streaming accumulate path, no stage 2)
+    dt_c, comb = device_time(
+        lambda i: engine.mxu_kernel_combined(
+            sec7, jnp.asarray(i, jnp.int32), P, lanes
+        ),
+        iters=10,
+    )
+    mxu_ops_c = 2.0 * nbp * n_pad * (P * k * L7 + groups * 8 * words_per_p)
+    hbm_c = sec7.size + comb.size * 4
+    rep_c = roofline(
+        dt_c, hbm_bytes=hbm_c, mxu_int8_ops=mxu_ops_c,
+        vpu_u32_ops=nbp * P * words_per_p * 5.0,
+    )
+    print(f"# combine-only:  {dt_c*1e3:.2f} ms  {json.dumps(rep_c)}", file=sys.stderr)
 
-    dt_r, out = device_time(lambda i: rec(c7flat, jnp.asarray(i, jnp.uint32)), iters=10)
-    cols_r = 2 * L7 - 1
-    n_pad_r = -(-(k * cols_r) // 32) * 32
-    mxu_ops_r = 2.0 * nbp * n_pad_r * n * L7
-    hbm_r = c7flat.size + out.size * 4
-    rep_r = roofline(dt_r, hbm_bytes=hbm_r, mxu_int8_ops=mxu_ops_r)
-    print(f"# reconstruct:   {dt_r*1e3:.2f} ms  {json.dumps(rep_r)}", file=sys.stderr)
-
-    total = dt + dt_r
     print(
         json.dumps(
             {
                 "metric": "headline pipeline roofline",
-                "chip": V5E.name,
-                "ms_per_step": round(total * 1e3, 3),
-                "share_combine": rep,
-                "reconstruct": rep_r,
+                "chip": chip.name,
+                "ms_per_step": round(dt * 1e3, 3),
+                "full_pipeline": rep,
+                "combine_only": rep_c,
             }
         )
     )

@@ -112,7 +112,8 @@ def _reduced_row(mxu: MxuContext, m_col, shift: int) -> np.ndarray:
     return limbs7_host(np.array(vals, dtype=object), mxu.L7).reshape(-1)
 
 
-def _big_rows(mxu: MxuContext, m_normal, slot_rows, in_limbs, n_pad: int):
+def _big_rows(mxu: MxuContext, m_normal, slot_rows, in_limbs, n_pad: int,
+              limb_major: bool = False):
     """Reduced ``bigMᵀ[n_pad, rows]`` int8 for the given slot subset.
 
     ``slot_rows``: indices into ``m_normal`` rows, repeated participant-major
@@ -120,6 +121,10 @@ def _big_rows(mxu: MxuContext, m_normal, slot_rows, in_limbs, n_pad: int):
     (acc rows) are ``(i, l2)``-major with stride ``L7`` per clerk, padded to
     ``n_pad`` MXU-friendly rows; entry for input row ``(j, l1)`` is
     ``limb_l2(M[j,i]·2^{7·l1} mod p)``.
+
+    ``limb_major=True`` orders the input rows ``(l1, j)`` instead of
+    ``(j, l1)`` — the layout :func:`_limbs7_planes` produces in-kernel
+    without a sublane transpose (requires uniform ``in_limbs``).
     """
     m_normal = np.asarray(m_normal, dtype=object)
     n = m_normal.shape[1]
@@ -129,14 +134,27 @@ def _big_rows(mxu: MxuContext, m_normal, slot_rows, in_limbs, n_pad: int):
     rows = sum(in_limbs)
     big = np.zeros((n_pad, rows), dtype=np.int8)
     cache: dict[tuple[int, int], np.ndarray] = {}
+
+    def reduced(j, l1):
+        got = cache.get((j, l1))
+        if got is None:
+            got = _reduced_row(mxu, m_normal[j], _W7 * l1)
+            cache[(j, l1)] = got
+        return got
+
+    if limb_major:
+        if len(set(in_limbs)) != 1:
+            raise ValueError("limb_major needs a uniform limb count")
+        row = 0
+        for l1 in range(in_limbs[0]):
+            for j in slot_rows:
+                big[: n * L7, row] = reduced(j, l1)
+                row += 1
+        return big
     row = 0
     for j, limbs in zip(slot_rows, in_limbs):
         for l1 in range(limbs):
-            got = cache.get((j, l1))
-            if got is None:
-                got = _reduced_row(mxu, m_normal[j], _W7 * l1)
-                cache[(j, l1)] = got
-            big[: n * L7, row] = got
+            big[: n * L7, row] = reduced(j, l1)
             row += 1
     return big
 
@@ -221,7 +239,13 @@ def _reduce_acc(mxu, consts_ref, acc, n: int, const_base: int):
 
 
 def _limbs7_planes(mxu, res, n: int):
-    """Canonical L16 lanes (list of ``[n, T]`` u32) -> ``[n·L7, T]`` int8."""
+    """Canonical L16 lanes (list of ``[n, T]`` u32) -> ``[L7·n, T]`` int8.
+
+    Rows come out **limb-major** ``(l1, j)`` — a contiguous sublane concat,
+    NOT the ``(j, l1)`` interleave (which costs a sublane-granularity
+    transpose, ~0.35 ms/step at the headline shape). The second-stage
+    matrix's rows are ordered to match (``limb_major=True``).
+    """
     ctx = mxu.ctx
     planes = []
     for l7 in range(mxu.L7):
@@ -231,8 +255,7 @@ def _limbs7_planes(mxu, res, n: int):
         if sh + _W7 > _W16 and w + 1 < ctx.L:
             v = v | (res[w + 1] << (_W16 - sh))
         planes.append((v & _MASK7).astype(jnp.int8))
-    # [L7, n, T] -> [n, L7, T] -> [n·L7, T] to match _big_rows row order
-    return jnp.stack(planes, axis=1).reshape(n * mxu.L7, res[0].shape[-1])
+    return jnp.concatenate(planes, axis=0)
 
 
 def _mxu_fused_kernel(
@@ -241,10 +264,11 @@ def _mxu_fused_kernel(
 ):
     ctx = mxu.ctx
     T = sec_ref.shape[-1]
-    acc = jax.lax.dot_general(
-        bigs_ref[...], sec_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    if not (kr and rand_sum):
+        acc = jax.lax.dot_general(
+            bigs_ref[...], sec_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
     if kr and rand_sum:
         # rand-sum mode: Σ_p R·rand_p = R·(Σ_p rand_p). Draw every
         # participant's raw limbs, but sum them over participants in packed
@@ -257,14 +281,17 @@ def _mxu_fused_kernel(
         p_count, words_per_p, pg, groups = rand_sum
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         mask2 = jnp.uint32(_MASK7 | (_MASK7 << 14))
-        for _g in range(groups):
+        acc = None
+        for g in range(groups):
             accE = jnp.zeros((words_per_p, T), jnp.uint32)
             accO = jnp.zeros((words_per_p, T), jnp.uint32)
-            for _ in range(p_count // groups // pg):
+            gsize = p_count // groups
+            for step in range(gsize // pg):
                 w = pltpu.bitcast(
                     pltpu.prng_random_bits((pg * words_per_p, T)), jnp.uint32
                 ).reshape(pg, words_per_p, T)
                 # unrolled adds: Mosaic has no unsigned-reduce lowering
+                # (and unrolling schedules ~10% faster than fori_loop here)
                 for j in range(pg):
                     accE = accE + (w[j] & mask2)
                     accO = accO + ((w[j] >> 7) & mask2)
@@ -275,10 +302,17 @@ def _mxu_fused_kernel(
                               (s >> _W7).astype(jnp.int8))],
                 axis=0,
             )  # [8·words_per_p, T]: (limb-in-word b, carry) blocks, word-major
-            acc = acc + jax.lax.dot_general(
+            part = jax.lax.dot_general(
                 bigr_ref[...], rand2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
+            acc = part if acc is None else acc + part
+        # the big secrets matmul comes last: its MXU passes can overlap the
+        # VPU-heavy randomness accumulation above in the software pipeline
+        acc = acc + jax.lax.dot_general(
+            bigs_ref[...], sec_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
     elif kr:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         # randomness is generated and contracted in groups so the VMEM
@@ -452,7 +486,9 @@ def fused_share_combine_mxu(
             raise ValueError("reconstruct_matrix rows must equal share count")
         n2 = rec.shape[1]
         n_pad2 = -(-(n2 * L7) // 32) * 32
-        big2 = _big_rows(mxu, rec, list(range(n)), [L7] * n, n_pad2)
+        big2 = _big_rows(
+            mxu, rec, list(range(n)), [L7] * n, n_pad2, limb_major=True
+        )
     else:
         big2 = np.zeros((32, 32), dtype=np.int8)  # unused placeholder
     # both stages fold (L7+4)-limb accumulators -> one shared const table
