@@ -26,6 +26,9 @@ def main() -> int:
     ap.add_argument("--participants-per-device", type=int, default=8)
     ap.add_argument("--cpu-mesh", action="store_true", default=None,
                     help="force the virtual CPU mesh (default: auto)")
+    ap.add_argument("--streaming-chunks", type=int, default=0,
+                    help="also run the config-5 streaming x sharded step "
+                         "with this many participant chunks")
     args = ap.parse_args()
 
     # XLA_FLAGS are parsed once, at the process's first backend init, so the
@@ -35,13 +38,16 @@ def main() -> int:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         flags = (flags + f" --xla_force_host_platform_device_count={args.devices}").strip()
-    if "xla_disable_hlo_passes" not in flags:
-        flags = flags + " --xla_disable_hlo_passes=algsimp"
     os.environ["XLA_FLAGS"] = flags
 
     import jax
 
-    if args.cpu_mesh or len(jax.devices()) < 2:
+    if args.cpu_mesh or len(jax.devices()) < args.devices:
+        # XLA:CPU's algebraic simplifier circular-rewrites on 16-bit-limb
+        # mask/shift chains; disable it for the CPU-mesh fallback ONLY (the
+        # TPU backend needs algsimp — e.g. to eliminate int8 transposes).
+        if "xla_disable_hlo_passes" not in os.environ.get("XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] += " --xla_disable_hlo_passes=algsimp"
         if jax.default_backend() != "cpu":
             # backends may already be initialized (this image's sitecustomize
             # pre-imports jax on the remote-TPU platform); clear and re-create
@@ -118,10 +124,82 @@ def main() -> int:
               f"{rate/1e9:.2f} Gfield-ops/s, efficiency {eff:.1%}", file=sys.stderr)
         n_dev *= 2
 
+    streaming = None
+    if args.streaming_chunks > 0:
+        # BASELINE config 5 shape (scaled): the participant axis streams in
+        # chunks through per-chip fused combines (zero collectives in the
+        # loop); ONE final modular all-reduce + reconstruction closes the
+        # step. Reported split: local compute vs the collective finish —
+        # the communication/compute ratio that governs multi-host scaling.
+        import jax.numpy as jnp
+
+        n_dev = min(args.devices, len(jax.devices()))
+        n_chunks = args.streaming_chunks
+        p_chunk = args.participants_per_device * n_dev
+        dim = 3 * args.dim_per_device
+        engine = TpuAggregationEngine(scheme.device_spec(), dim)
+        mesh = make_mesh({"p": n_dev, "d": 1, "c": 1}, devices=jax.devices()[:n_dev])
+        pipe = ShardedAggregationPipeline(engine, mesh)
+        key = jax.random.key(1)
+        sec = jax.jit(
+            lambda k: uniform_limbs(engine.ctx, k, (p_chunk, engine.nb, 3))
+        )(key)
+        if jax.default_backend() == "cpu":
+            rand = jax.jit(
+                lambda k: uniform_limbs(
+                    engine.ctx, k, (p_chunk, engine.nb, engine.spec.randomness_count)
+                )
+            )(key)
+            planar = jax.jit(lambda s, r: engine.planar7_ext(
+                jnp.concatenate([s, r], axis=2), 512))(sec, rand)
+            ext = True
+        else:
+            planar = jax.jit(lambda s: engine.planar7_secrets(s, 512))(sec)
+            ext = False
+        planar = pipe.shard_planar(planar)
+        chunks = [planar] * n_chunks  # same device buffer: isolates compute
+
+        def run():
+            t0 = time.perf_counter()
+            step = pipe._mxu_chunk_step_ext if ext else pipe._mxu_chunk_step
+            acc = None
+            for i in range(n_chunks):
+                part = step(chunks[i], jnp.asarray(7919 * i, jnp.int32))
+                acc = part if acc is None else pipe._add_mod_sharded(acc, part)
+            jax.block_until_ready(acc)
+            t1 = time.perf_counter()
+            out = pipe._mxu_stream_finish(acc)
+            jax.block_until_ready(out)
+            t2 = time.perf_counter()
+            return t1 - t0, t2 - t1
+
+        run()  # warmup/compile
+        loop_s, finish_s = run()
+        total_p = p_chunk * n_chunks
+        spec = engine.spec
+        m, n = spec.secret_count + spec.randomness_count, spec.share_count
+        fieldops = total_p * engine.nb * (2 * m * n + n)
+        partial_bytes = n * engine.nb * engine.ctx.L * 4  # per-shard all-reduce payload
+        streaming = {
+            "participants": total_p,
+            "dimension": dim,
+            "chunks": n_chunks,
+            "chunk_loop_ms": round(loop_s * 1e3, 2),
+            "finish_ms": round(finish_s * 1e3, 2),
+            "comm_fraction": round(finish_s / (loop_s + finish_s), 4),
+            "gfieldops_per_s": round(fieldops / (loop_s + finish_s) / 1e9, 2),
+            "allreduce_payload_mb": round(partial_bytes / 1e6, 3),
+        }
+        print(f"# streaming x sharded ({n_dev} dev, {n_chunks} chunks, "
+              f"{total_p} participants x {dim} dim): loop {loop_s*1e3:.1f} ms + "
+              f"finish {finish_s*1e3:.1f} ms "
+              f"(comm fraction {streaming['comm_fraction']:.1%})", file=sys.stderr)
+
     print(json.dumps({
         "metric": "weak-scaling efficiency of sharded aggregation (mesh)",
         "platform": jax.default_backend(),
         "results": results,
+        **({"streaming_sharded": streaming} if streaming else {}),
     }))
     return 0
 

@@ -177,6 +177,87 @@ class ShardedAggregationPipeline:
             self.aggregate_mxu = aggregate_mxu
             self.aggregate_mxu_ext = aggregate_mxu_ext
 
+            # ----------------------- streaming x sharded (BASELINE config 5)
+            # 100k participants x 1M dim exceeds HBM even sharded, so the
+            # participant axis streams in chunks: each chip fuses
+            # share-gen+combine over its resident slice of a chunk and
+            # accumulates LOCAL per-clerk partial sums (no collectives in
+            # the chunk loop — the linearity of the combine lets every
+            # cross-chip exchange wait). One finish step pays the modular
+            # all-reduce over ("p", "c") and reconstructs. This composes the
+            # protocol's P1 streaming with P2/P5 sharding (SURVEY.md §2.8).
+            def _chunk_body(sec7_loc, seed, slots):
+                idx = jax.lax.axis_index("p") * n_c + jax.lax.axis_index("c")
+                local_seed = seed + jnp.int32(1315423911) * idx.astype(jnp.int32)
+                p_loc = sec7_loc.shape[0] // (slots * L7)
+                lanes = min(512, sec7_loc.shape[1])
+                comb16 = fused_share_combine_mxu(
+                    mxu, spec.share_matrix, sec7_loc, p_loc,
+                    k_, r_, seed=local_seed, lanes=lanes, out7=False,
+                )  # [n, L16, NBP_loc]
+                # limb-last, leading shard axis for the (p, c) partial sums
+                return jnp.moveaxis(comb16, 1, -1)[None]
+
+            pspec_partial = P(("p", "c"), None, "d", None)
+
+            def _make_chunk_step(with_prng):
+                slots = k_ if with_prng else k_ + r_
+                return jax.jit(
+                    jax.shard_map(
+                        lambda sec7_loc, seed: _chunk_body(sec7_loc, seed, slots),
+                        mesh=mesh,
+                        in_specs=(pspec_planar, P()),
+                        out_specs=pspec_partial,
+                        check_vma=False,
+                    )
+                )
+
+            self._mxu_chunk_step = _make_chunk_step(True)
+            self._mxu_chunk_step_ext = _make_chunk_step(False)
+
+            def _finish_body(acc_loc):
+                x = acc_loc[0]  # [n, NBP_loc, L16] this shard's partial sum
+                x = psum_mod(ctx, x, "p")
+                x = psum_mod(ctx, x, "c")
+                c7 = mxu.limbs7_from_16(x)  # [n, NBP_loc, L7]
+                c7 = jnp.moveaxis(c7, -1, 1).reshape(-1, x.shape[1])
+                lanes = min(512, x.shape[1])
+                rec = fused_share_combine_mxu(
+                    mxu, spec.reconstruct_matrix, c7, 1, n_, 0, lanes=lanes,
+                )  # [k, L16, NBP_loc]
+                return jnp.transpose(rec, (2, 0, 1))  # [NBP_loc, k, L16]
+
+            self._mxu_stream_finish = jax.jit(
+                jax.shard_map(
+                    _finish_body,
+                    mesh=mesh,
+                    in_specs=(pspec_partial,),
+                    out_specs=P("d", None, None),
+                    check_vma=False,
+                )
+            )
+            self._add_mod_sharded = jax.jit(ctx.add_mod)
+
+            def aggregate_mxu_streaming(chunks, seed0: int = 0, ext: bool = False):
+                """Streaming + sharded aggregation (config-5 shape).
+
+                ``chunks``: iterable of planar int8 tensors ``[P_chunk*slots*
+                L7, NBP]`` (or callables ``f(i) -> tensor``); each is sharded
+                participant-rows over ("p","c") and lanes over "d". ``ext``
+                selects caller-supplied (host-CSPRNG) randomness slots.
+                Returns ``[NBP, k, L16]`` — slice to ``engine.nb`` rows.
+                """
+                step = self._mxu_chunk_step_ext if ext else self._mxu_chunk_step
+                acc = None
+                for i, chunk in enumerate(chunks):
+                    sec7 = chunk(i) if callable(chunk) else chunk
+                    sec7 = self.shard_planar(sec7)
+                    part = step(sec7, jnp.asarray(seed0 + 7919 * i, jnp.int32))
+                    acc = part if acc is None else self._add_mod_sharded(acc, part)
+                return self._mxu_stream_finish(acc)
+
+            self.aggregate_mxu_streaming = aggregate_mxu_streaming
+
     def shard_planar(self, sec7):
         """Shard a planar int8 tensor: participant rows over ("p","c"),
         lane blocks over "d"."""

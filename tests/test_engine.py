@@ -141,6 +141,39 @@ def test_sharded_mxu_kernel_matches_single_device(rng):
     assert got == expect
 
 
+def test_sharded_mxu_streaming_matches_single_device(rng):
+    """The config-5 path (participant streaming x mesh sharding) agrees
+    bit-exactly with the single-device pipeline across 3 chunks."""
+    from sda_tpu.parallel import ShardedAggregationPipeline, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    scheme = PackedShamirScheme(**REF)
+    d = 12
+    engine = TpuAggregationEngine(scheme.device_spec(), d)
+    mesh = make_mesh({"p": 2, "d": 2, "c": 2})
+    pipe = ShardedAggregationPipeline(engine, mesh)
+    p_chunk, n_chunks = 8, 3
+    p_count = p_chunk * n_chunks
+    secrets = np.array(
+        [[int(rng.integers(0, 433)) for _ in range(d)] for _ in range(p_count)], dtype=object
+    )
+    enc = jnp.asarray(engine.encode_secrets(secrets))
+    rand = jnp.asarray(engine.random_ext(p_count, rng=rng))
+    single = engine.aggregate(enc, rand)
+    ext = jnp.concatenate([enc, rand], axis=2)
+    chunks = [
+        engine.planar7_ext(ext[i * p_chunk : (i + 1) * p_chunk], lanes=128)
+        for i in range(n_chunks)
+    ]
+    out = pipe.aggregate_mxu_streaming(chunks, ext=True)
+    got = [int(x) for x in engine.decode_output(np.asarray(out))]
+    want = [int(x) for x in engine.decode_output(np.asarray(single))]
+    assert got == want
+    expect = [int(sum(secrets[i][j] for i in range(p_count))) % 433 for j in range(d)]
+    assert got == expect
+
+
 def test_device_combine_matches_host(rng):
     from sda_tpu.engine import device_combine
     from sda_tpu.fields import positive
