@@ -20,6 +20,8 @@ def main() -> int:
     ap.add_argument("--dimension", type=int, default=1_000_002)
     ap.add_argument("--participants", type=int, default=128)
     ap.add_argument("--lanes", type=int, default=1024)
+    ap.add_argument("--breakdown", action="store_true",
+                    help="also print per-module device-time breakdown")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +87,19 @@ def main() -> int:
     )
     print(f"# combine-only:  {dt_c*1e3:.2f} ms  {json.dumps(rep_c)}", file=sys.stderr)
 
+    breakdown = None
+    if args.breakdown:
+        from sda_tpu.utils.profiling import device_breakdown
+
+        breakdown = device_breakdown(
+            lambda i: engine.aggregate_mxu_kernel(
+                sec7, jnp.asarray(i, jnp.int32), p_count=P, lanes=lanes
+            ),
+            iters=5,
+        )
+        for name, ms in list(breakdown.items())[:12]:
+            print(f"# breakdown: {ms:8.3f} ms  {name}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -93,6 +108,7 @@ def main() -> int:
                 "ms_per_step": round(dt * 1e3, 3),
                 "full_pipeline": rep,
                 "combine_only": rep_c,
+                **({"breakdown_ms": breakdown} if breakdown else {}),
             }
         )
     )

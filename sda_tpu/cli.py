@@ -226,6 +226,9 @@ def main(argv=None) -> int:
     import requests
 
     args = build_parser().parse_args(argv)
+    from sda_tpu.utils.logging import setup as _log_setup
+
+    _log_setup(args.verbose)  # -v/-vv -> info/debug (cli/src/main.rs:83-88)
     try:
         return run(args)
     except SdaError as e:

@@ -23,10 +23,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from sda_tpu import protocol as proto
 from sda_tpu.server import SdaServerService
 from sda_tpu.utils.errors import Invalid, InvalidCredentials, PermissionDenied
+from sda_tpu.utils.logging import get_logger
 
 __all__ = ["SdaHttpServer", "serve_background"]
 
 _UUID = r"[0-9a-fA-F-]{36}"
+_LOG = get_logger("http")
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -35,8 +37,10 @@ class _Handler(BaseHTTPRequestHandler):
 
     # --------------------------------------------------------- plumbing
 
-    def log_message(self, fmt, *args):  # quiet; structured logging upstream
-        pass
+    def log_message(self, fmt, *args):
+        # stdlib per-request lines route to the structured logger at DEBUG;
+        # the INFO request line (method path -> status) is in _dispatch
+        _LOG.debug(fmt, *args)
 
     def _auth_token(self) -> proto.AuthToken:
         header = self.headers.get("Authorization", "").strip()
@@ -61,6 +65,7 @@ class _Handler(BaseHTTPRequestHandler):
         return json.loads(self.rfile.read(length))
 
     def _reply(self, status: int, body: bytes = b"", headers=()):
+        self._status = status
         self.send_response(status)
         for k, v in headers:
             self.send_header(k, v)
@@ -82,19 +87,27 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(201)
 
     def _dispatch(self, method: str):
+        # request line + error mapping logged like the reference
+        # (/root/reference/server-http/src/lib.rs:105-135)
         path, _, query = self.path.partition("?")
+        self._status = None
         try:
             handled = self._route(method, path, query)
             if not handled:
                 self._reply(404, b"route not found")
         except InvalidCredentials as e:
+            _LOG.warning("unauthorized: %s", e)
             self._reply(401, str(e).encode())
         except PermissionDenied as e:
+            _LOG.warning("forbidden: %s", e)
             self._reply(403, str(e).encode())
         except Invalid as e:
+            _LOG.warning("invalid request: %s", e)
             self._reply(400, str(e).encode())
         except Exception as e:  # noqa: BLE001 — 500 boundary
+            _LOG.error("error in server: %s", e)
             self._reply(500, f"error in server: {e}".encode())
+        _LOG.info("%s %s -> %s", method, path, self._status)
 
     # ----------------------------------------------------------- routes
 

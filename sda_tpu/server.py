@@ -25,6 +25,9 @@ from sda_tpu import protocol as proto
 from sda_tpu.service import SdaService
 from sda_tpu.stores import JsonDirStores, MemoryStores, Stores
 from sda_tpu.utils.errors import Invalid, InvalidCredentials, PermissionDenied
+from sda_tpu.utils.logging import get_logger
+
+_LOG = get_logger("server")
 
 __all__ = ["SdaServer", "SdaServerService", "new_memory_server", "new_jsondir_server"]
 
@@ -126,6 +129,8 @@ class SdaServer:
         Freeze participations -> transpose into per-clerk jobs -> persist the
         snapshot -> collect the recipient mask blob if masking is on.
         """
+        # debug progress lines mirror the reference pipeline (snapshot.rs:7-45)
+        _LOG.debug("snapshotting participations for %s", snapshot.id)
         aggregation = self.stores.get_aggregation(snapshot.aggregation)
         if aggregation is None:
             raise Invalid("lost aggregation")
@@ -133,9 +138,11 @@ class SdaServer:
         committee = self.stores.get_committee(snapshot.aggregation)
         if committee is None:
             raise Invalid("lost committee")
+        _LOG.debug("generating clerking jobs for %s", snapshot.id)
         encryptions = self.stores.iter_snapshot_clerk_jobs_data(
             snapshot.aggregation, snapshot.id, len(committee.clerks_and_keys)
         )
+        n_jobs = 0
         for (clerk_id, _), shares in zip(committee.clerks_and_keys, encryptions):
             self.stores.enqueue_clerking_job(
                 proto.ClerkingJob(
@@ -146,8 +153,11 @@ class SdaServer:
                     encryptions=tuple(shares),
                 )
             )
+            n_jobs += 1
+        _LOG.debug("enqueued %d clerking jobs for %s", n_jobs, snapshot.id)
         self.stores.create_snapshot(snapshot)
         if aggregation.masking_scheme.has_mask:
+            _LOG.debug("collecting recipient mask encryptions for %s", snapshot.id)
             recipient_encryptions = []
             for part in self.stores.iter_snapped_participations(
                 snapshot.aggregation, snapshot.id

@@ -44,6 +44,9 @@ def build_backend_server(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from sda_tpu.utils.logging import setup as _log_setup
+
+    _log_setup(args.verbose)  # -v/-vv -> info/debug (server-cli/src/lib.rs:29-36)
     service = build_backend_server(args)
     if args.cmd == "httpd":
         host, _, port = args.bind.partition(":")
