@@ -288,19 +288,34 @@ class Stores:
 
     def iter_snapshot_clerk_jobs_data(
         self, aggregation: str, snapshot: str, clerks_number: int
-    ) -> list[list[proto.Encryption]]:
-        """Transpose participations into per-clerk encryption lists.
+    ) -> Iterator[list[proto.Encryption]]:
+        """Transpose participations into per-clerk encryption lists, streaming.
 
         The [participants x clerks] -> [clerks x participants] regrouping
-        (stores.rs:86-101 default impl). This host path handles the protocol
-        store; bulk TPU workloads do the same transpose device-side as an
-        ``all_to_all`` in :mod:`sda_tpu.engine`.
+        (stores.rs:86-101). Unlike the reference's default impl — which
+        builds the whole clerks x participations matrix in RAM, the reason
+        its Mongo backend exists (aggregations.rs:164-195) — this yields one
+        clerk's column at a time, so peak memory is O(participants), not
+        O(participants x clerks). Backends that can transpose server-side
+        (Mongo's $unwind/$group pipeline) expose
+        ``transpose_clerk_encryptions`` on the KV and are delegated to.
+        Bulk TPU workloads do the same transpose device-side as an
+        ``all_to_all`` in :mod:`sda_tpu.parallel`.
         """
-        shares: list[list[proto.Encryption]] = [[] for _ in range(clerks_number)]
-        for participation in self.iter_snapped_participations(aggregation, snapshot):
-            for ix, (_, enc) in enumerate(participation.clerk_encryptions):
-                shares[ix].append(enc)
-        return shares
+        kv_transpose = getattr(self._kv, "transpose_clerk_encryptions", None)
+        if kv_transpose is not None:
+            content = self._kv.get("snapshot_contents", snapshot) or {"participations": []}
+            for column in kv_transpose(
+                f"participations/{aggregation}", content["participations"], clerks_number
+            ):
+                yield [proto.Encryption.from_obj(e) for e in column]
+            return
+        for ix in range(clerks_number):
+            column = []
+            for participation in self.iter_snapped_participations(aggregation, snapshot):
+                if ix < len(participation.clerk_encryptions):
+                    column.append(participation.clerk_encryptions[ix][1])
+            yield column
 
     def create_snapshot_mask(self, snapshot: str, mask: list[proto.Encryption]) -> None:
         self._kv.put("snapshot_masks", snapshot, [e.to_obj() for e in mask])

@@ -1,19 +1,24 @@
 """MongoDB storage backend (optional; requires pymongo).
 
-The reference ships a Mongo production store (`sda-server-store-mongodb`)
-whose one special trick is pushing the snapshot transposition into a Mongo
-aggregation pipeline (/root/reference/server-store-mongodb/src/
-aggregations.rs:164-195) because the jfs default transposes in RAM.
-
-Here the transposition has a better home — the TPU engine's device-side
-``all_to_all`` (:mod:`sda_tpu.parallel`) — so the Mongo backend is a thin
-KV adapter over the shared :class:`sda_tpu.stores.Stores` logic: one
-document per record, one collection per namespace, unique index on ``_k``.
-All store semantics (compare-on-conflict create, durable job queues,
-snapshot freezing) are inherited and therefore covered by the same tests.
+The reference ships a Mongo production store (`sda-server-store-mongodb`);
+its one special trick is pushing the snapshot transposition into a Mongo
+aggregation pipeline with ``allow_disk_use``
+(/root/reference/server-store-mongodb/src/aggregations.rs:164-195) because
+the jfs default transposes in RAM. This backend keeps that trick
+(:meth:`_MongoKV.transpose_clerk_encryptions` — ``$match`` the frozen ids,
+``$unwind`` the clerk-encryption array with its index, ``$group`` by clerk
+index, ``$sort``) while the rest is a thin KV adapter over the shared
+:class:`sda_tpu.stores.Stores` logic: one document per record, one
+collection per namespace, unique index on ``_k``. All store semantics
+(compare-on-conflict create, durable job queues, snapshot freezing) are
+inherited and covered by the same tests (run against a pymongo-API fake in
+CI, or a real mongod when one is reachable). Bulk TPU workloads transpose
+device-side instead (``all_to_all`` in :mod:`sda_tpu.parallel`).
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 from sda_tpu.stores import Stores, _KV
 
@@ -56,6 +61,47 @@ class _MongoKV(_KV):
 
     def keys(self, ns):
         return sorted(d["_k"] for d in self._coll(ns).find({}, {"_k": 1}))
+
+    def transpose_clerk_encryptions(
+        self, ns: str, pids: list[str], clerks_number: int
+    ) -> Iterator[list]:
+        """Server-side [participants x clerks] transposition.
+
+        The reference's scalable path (aggregations.rs:164-195): the
+        database regroups and spills to disk; the server never holds the
+        full matrix. Yields ``clerks_number`` raw-encryption columns.
+        """
+        pipeline = [
+            {"$match": {"_k": {"$in": list(pids)}}},
+            {
+                "$unwind": {
+                    "path": "$v.clerk_encryptions",
+                    "includeArrayIndex": "clerk_ix",
+                }
+            },
+            {
+                "$group": {
+                    "_id": "$clerk_ix",
+                    "shares": {"$push": "$v.clerk_encryptions"},
+                }
+            },
+            {"$sort": {"_id": 1}},
+        ]
+        # the cursor arrives $sort-ed by clerk index: stream it, filling in
+        # empty columns for clerks with no shares (0-participation edge)
+        next_ix = 0
+        for doc in self._coll(ns).aggregate(pipeline, allowDiskUse=True):
+            ix = int(doc["_id"])
+            if ix >= clerks_number:
+                break
+            while next_ix < ix:
+                yield []
+                next_ix += 1
+            yield [pair[1] for pair in doc["shares"]]
+            next_ix = ix + 1
+        while next_ix < clerks_number:
+            yield []
+            next_ix += 1
 
 
 def MongoStores(url: str, db_name: str = "sda") -> Stores:

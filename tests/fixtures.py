@@ -55,6 +55,29 @@ def with_service(kind: str = "memory"):
 
         with tempfile.TemporaryDirectory(prefix="sda-tests-") as d:
             yield new_jsondir_server(d)
+    elif kind == "mongo":
+        # real pymongo + mongod when present, else the in-repo pymongo-API
+        # fake; either way a throwaway db, dropped afterwards — the
+        # reference's pattern (integration-tests/src/lib.rs:124-140)
+        import secrets as _secrets
+        import sys
+
+        try:
+            import pymongo  # noqa: F401
+        except ImportError:
+            from tests import fake_pymongo
+
+            sys.modules["pymongo"] = fake_pymongo
+        from sda_tpu.stores_mongo import new_mongo_server
+
+        db = f"sda-test-{_secrets.randbits(64)}"
+        url = "mongodb://localhost:27017"
+        try:
+            yield new_mongo_server(url, db)
+        finally:
+            import pymongo
+
+            pymongo.MongoClient(url).drop_database(db)
     elif kind == "http":
         import tempfile
 

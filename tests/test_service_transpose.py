@@ -14,7 +14,7 @@ from sda_tpu.utils.errors import Invalid
 from .fixtures import dummy_agent, dummy_signed_key, with_service
 
 
-@pytest.fixture(params=["memory", "jsondir"])
+@pytest.fixture(params=["memory", "jsondir", "mongo"])
 def service(request):
     with with_service(request.param) as s:
         yield s
