@@ -91,6 +91,7 @@ def test_engine_aggregate_mxu_reveal(rng):
     assert got == _expected_sums(engine, secrets)
 
 
+@pytest.mark.tpu
 def test_mxu_kernel_full_step_reveal(rng):
     if jax.default_backend() == "cpu":
         pytest.skip("pltpu PRNG primitives have no CPU interpret lowering")
@@ -116,6 +117,7 @@ def test_mxu_kernel_protocol_randomness_exact(rng):
     assert jnp.array_equal(out, golden)
 
 
+@pytest.mark.tpu
 def test_mxu_kernel_streaming_matches_expected(rng):
     if jax.default_backend() == "cpu":
         pytest.skip("pltpu PRNG primitives have no CPU interpret lowering")

@@ -57,6 +57,7 @@ def test_fused_tile_padding(rng):
     assert [int(x) for x in engine.decode_output(np.asarray(fused))] == expect
 
 
+@pytest.mark.tpu
 def test_fused_prng_variant_reveals_sum(rng):
     """On-chip-randomness variant: different randomness, same reveal."""
     if jax.default_backend() == "cpu":
@@ -65,7 +66,9 @@ def test_fused_prng_variant_reveals_sum(rng):
     engine = TpuAggregationEngine(scheme.device_spec(), 9)
     secrets = np.array([[int(rng.integers(0, 433)) for _ in range(9)] for _ in range(4)], dtype=object)
     enc = jnp.asarray(engine.encode_secrets(secrets))
-    fused = engine.aggregate_fused(enc, seed=42, rows=1, interpret=True)
+    # interpret mode can't execute pltpu PRNG primitives even on the TPU
+    # backend — this lane compiles the kernel natively on the chip
+    fused = engine.aggregate_fused(enc, seed=42, rows=1, interpret=False)
     expect = [int(sum(secrets[i][j] for i in range(4))) % 433 for j in range(9)]
     assert [int(x) for x in engine.decode_output(np.asarray(fused))] == expect
 
