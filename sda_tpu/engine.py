@@ -30,7 +30,7 @@ from sda_tpu.sharing import DeviceSchemeSpec
 __all__ = ["TpuAggregationEngine", "device_combine"]
 
 
-def device_combine(modulus: int, share_vectors) -> np.ndarray:
+def device_combine(modulus: int, share_vectors, chunk_size: int = 256) -> np.ndarray:
     """Bulk clerk combine on the accelerator.
 
     Clerk-side modular sum of many participants' share vectors
@@ -38,12 +38,32 @@ def device_combine(modulus: int, share_vectors) -> np.ndarray:
     protocol-equivalent to the reference's signed fold (representatives may
     differ; reveal-side ``positive()`` agrees). Odd or even modulus, any
     width below 2**63 on the int64 fast path.
+
+    ``share_vectors`` may be any iterable (including a generator draining
+    decryptions): vectors stream through the device accumulator in
+    ``chunk_size``-participant chunks, so peak host memory is
+    O(chunk_size x dimension) — not O(participants x dimension) — the same
+    streaming answer to clerk.rs:71-72 the server-side transpose uses.
     """
-    mats = np.stack([np.asarray(v, dtype=np.int64) for v in share_vectors])
     ctx = LimbContext.create_add_only(modulus)
-    limbs = jnp.asarray(ctx.encode_i64(mats))
-    summed = ctx.sum_mod(limbs, axis=0)
-    return ctx.decode_i64(np.asarray(summed))
+    acc = None
+
+    def flush(acc, buf):
+        limbs = jnp.asarray(ctx.encode_i64(np.asarray(buf, dtype=np.int64)))
+        part = ctx.sum_mod(limbs, axis=0)
+        return part if acc is None else ctx.add_mod(acc, part)
+
+    buf: list[np.ndarray] = []
+    for v in share_vectors:
+        buf.append(np.asarray(v, dtype=np.int64))
+        if len(buf) == chunk_size:
+            acc = flush(acc, buf)
+            buf = []
+    if buf:
+        acc = flush(acc, buf)
+    if acc is None:
+        raise ValueError("device_combine requires at least one share vector")
+    return ctx.decode_i64(np.asarray(acc))
 
 
 class TpuAggregationEngine:
@@ -297,7 +317,10 @@ class TpuAggregationEngine:
             ):
                 """Config-4 scale: ``chunks`` yield ``[P_chunk*k*L7, NBP]``
                 planar secret tensors (or callables ``f(i)``); per-chunk
-                combined sums accumulate canonically mod p on device."""
+                combined sums accumulate canonically mod p on device.
+                Per-chunk PRNG seeds follow a linear schedule (a
+                decorrelation device for benchmarks — host-CSPRNG
+                randomness via the ext layouts is the protocol path)."""
                 acc = None
                 for i, chunk in enumerate(chunks):
                     sec7 = chunk(i) if callable(chunk) else jnp.asarray(chunk)
@@ -306,6 +329,10 @@ class TpuAggregationEngine:
                         p_chunk, lanes,
                     )
                     acc = part if acc is None else _add_mod_planar(acc, part)
+                if acc is None:
+                    raise ValueError(
+                        "aggregate_mxu_kernel_streaming requires at least one chunk"
+                    )
                 return _reconstruct_planar16(acc, lanes)
 
             self.planar7_secrets = _planar7_secrets

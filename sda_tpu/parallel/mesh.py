@@ -244,7 +244,12 @@ class ShardedAggregationPipeline:
                 ``chunks``: iterable of planar int8 tensors ``[P_chunk*slots*
                 L7, NBP]`` (or callables ``f(i) -> tensor``); each is sharded
                 participant-rows over ("p","c") and lanes over "d". ``ext``
-                selects caller-supplied (host-CSPRNG) randomness slots.
+                selects caller-supplied (host-CSPRNG) randomness slots —
+                the canonical protocol path. With ``ext=False`` sharing
+                randomness comes from the in-kernel PRNG with per-chunk/
+                per-shard seeds derived by a linear integer schedule: a
+                decorrelation device for benchmarks and scaling tests, NOT
+                a CSPRNG — production shares must use ``ext=True``.
                 Returns ``[NBP, k, L16]`` — slice to ``engine.nb`` rows.
                 """
                 step = self._mxu_chunk_step_ext if ext else self._mxu_chunk_step
@@ -254,6 +259,10 @@ class ShardedAggregationPipeline:
                     sec7 = self.shard_planar(sec7)
                     part = step(sec7, jnp.asarray(seed0 + 7919 * i, jnp.int32))
                     acc = part if acc is None else self._add_mod_sharded(acc, part)
+                if acc is None:
+                    raise ValueError(
+                        "aggregate_mxu_streaming requires at least one chunk"
+                    )
                 return self._mxu_stream_finish(acc)
 
             self.aggregate_mxu_streaming = aggregate_mxu_streaming

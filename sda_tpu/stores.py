@@ -296,7 +296,12 @@ class Stores:
         builds the whole clerks x participations matrix in RAM, the reason
         its Mongo backend exists (aggregations.rs:164-195) — this yields one
         clerk's column at a time, so peak memory is O(participants), not
-        O(participants x clerks). Backends that can transpose server-side
+        O(participants x clerks). The trade is read amplification: each
+        clerk's pass re-reads (and re-parses, on JsonDir) every snapped
+        participation, i.e. O(clerks x participants) KV gets total. At
+        protocol committee sizes (≤ tens of clerks) that is the right
+        trade; backends with large committees should transpose
+        server-side instead. Backends that can transpose server-side
         (Mongo's $unwind/$group pipeline) expose
         ``transpose_clerk_encryptions`` on the KV and are delegated to.
         Bulk TPU workloads do the same transpose device-side as an

@@ -70,7 +70,18 @@ class _MongoKV(_KV):
         The reference's scalable path (aggregations.rs:164-195): the
         database regroups and spills to disk; the server never holds the
         full matrix. Yields ``clerks_number`` raw-encryption columns.
+
+        A frozen participation id missing from the collection is a
+        corrupted snapshot; the ``$in`` match would silently shrink the
+        aggregate, so the matched count is verified up front and a
+        mismatch raises — matching the generic path's
+        "inconsistent snapshot" semantics (:mod:`sda_tpu.stores`).
         """
+        from sda_tpu.utils.errors import Invalid
+
+        matched = self._coll(ns).count_documents({"_k": {"$in": list(pids)}})
+        if matched != len(set(pids)):
+            raise Invalid("inconsistent snapshot: missing participation")
         pipeline = [
             {"$match": {"_k": {"$in": list(pids)}}},
             {

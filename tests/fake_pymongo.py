@@ -103,6 +103,10 @@ class Collection:
                     del self._docs[_id]
                     return
 
+    def count_documents(self, query):
+        with self._lock:
+            return sum(1 for doc in self._docs.values() if _matches(doc, query))
+
     def find(self, query=None, projection=None):
         with self._lock:
             out = []

@@ -190,6 +190,34 @@ def test_device_combine_matches_host(rng):
         assert all(0 <= int(x) < modulus for x in got)
 
 
+def test_device_combine_streams_in_chunks(rng):
+    """P=2k share vectors drain through the accumulator as a generator —
+    peak host memory is O(chunk x d), the clerk.rs:71-72 streaming shape."""
+    from sda_tpu.engine import device_combine
+
+    modulus = (1 << 61) - 1
+    p_count, d = 2047, 5  # non-multiple of the chunk size: tail path too
+    base = rng.integers(0, modulus, size=(p_count, d))
+
+    consumed = 0
+
+    def vectors():
+        nonlocal consumed
+        for row in base:
+            consumed += 1
+            yield row
+
+    got = device_combine(modulus, vectors(), chunk_size=64)
+    assert consumed == p_count  # the generator was drained lazily, fully
+    expect = [int(sum(int(base[i, j]) for i in range(p_count))) % modulus for j in range(d)]
+    assert [int(x) for x in got] == expect
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        device_combine(modulus, [])
+
+
 def test_client_device_bulk_combine_full_loop(rng):
     """Full protocol loop with clerks combining on the accelerator."""
     import numpy as np

@@ -91,6 +91,158 @@ def test_too_many_dropouts_not_ready():
             recipient.reveal_aggregation(agg.id)
 
 
+def _setup_aggregation(service, n_clerks=3, **overrides):
+    """Recipient + clerks + committee for the default 3-clerk additive agg."""
+    recipient = make_client(service)
+    rkey = recipient.new_encryption_key()
+    recipient.upload_agent()
+    recipient.upload_encryption_key(rkey)
+    agg = agg_default(recipient.agent.id, rkey, **overrides)
+    recipient.upload_aggregation(agg)
+    clerks = [make_client(service) for _ in range(n_clerks)]
+    for c in clerks:
+        k = c.new_encryption_key()
+        c.upload_agent()
+        c.upload_encryption_key(k)
+    recipient.begin_aggregation(agg.id)
+    return recipient, clerks, agg
+
+
+def _tampered_signed_key(client):
+    """A signed encryption key whose Ed25519 signature is corrupted —
+    a malicious agent presenting a key it cannot prove ownership of."""
+    from sda_tpu import protocol as proto
+
+    key_id = client.crypto.new_encryption_key()
+    signed = client.crypto.sign_export(client.agent, key_id)
+    bad_sig = bytearray(signed.signature.data)
+    bad_sig[0] ^= 0x01
+    return key_id, proto.Signed(
+        signature=proto.Signature(bytes(bad_sig)),
+        signer=signed.signer,
+        body=signed.body,
+    )
+
+
+def _upload_tampered_key(client) -> str:
+    key_id, tampered = _tampered_signed_key(client)
+    client.service.create_encryption_key(client.agent, tampered)
+    return key_id
+
+
+def test_tampered_clerk_key_rejected_at_participation():
+    """A clerk key with a forged signature must abort new_participation
+    (participate.rs:82-101: every clerk key is signature-verified before
+    shares are encrypted under it)."""
+    with with_service("memory") as service:
+        recipient = make_client(service)
+        rkey = recipient.new_encryption_key()
+        recipient.upload_agent()
+        recipient.upload_encryption_key(rkey)
+        agg = agg_default(recipient.agent.id, rkey)
+        recipient.upload_aggregation(agg)
+        # every clerk presents a forged key: whatever 3-of-4 candidate
+        # subset the committee election picks, at least two bad keys sit
+        # in it and the participant must refuse
+        clerks = [make_client(service) for _ in range(3)]
+        for c in clerks:
+            c.upload_agent()
+            _upload_tampered_key(c)
+        recipient.begin_aggregation(agg.id)
+
+        part = make_client(service)
+        part.upload_agent()
+        with pytest.raises(Invalid, match="Signature verification failed"):
+            part.new_participation(np.array([1, 2, 3, 4]), agg.id)
+
+
+def test_forged_recipient_key_rejected_at_mask_encryption():
+    """With masking on, the participant verifies the recipient key before
+    encrypting its mask under it (participate.rs:56-72)."""
+    from sda_tpu import protocol as proto
+
+    with with_service("memory") as service:
+        recipient = make_client(service)
+        recipient.upload_agent()
+        bad_key_id = _upload_tampered_key(recipient)
+        agg = agg_default(
+            recipient.agent.id, bad_key_id,
+            masking_scheme=proto.FullMasking(modulus=433),
+        )
+        recipient.upload_aggregation(agg)
+        clerks = [make_client(service) for _ in range(3)]
+        for c in clerks:
+            c.upload_agent()
+            c.upload_encryption_key(c.new_encryption_key())
+        recipient.begin_aggregation(agg.id)
+        part = make_client(service)
+        part.upload_agent()
+        with pytest.raises(Invalid, match="Signature verification failed"):
+            part.new_participation(np.array([1, 2, 3, 4]), agg.id)
+
+
+def test_forged_recipient_key_rejected_at_clerking():
+    """Clerks verify the recipient key before re-encrypting their combined
+    shares under it (clerk.rs:88-100). With no masking the participant
+    never touches the recipient key, so the clerk is the first line of
+    defense against an unprovable key — it must fail, not leak shares."""
+    with with_service("memory") as service:
+        recipient = make_client(service)
+        recipient.upload_agent()
+        bad_key_id, tampered = _tampered_signed_key(recipient)
+        agg = agg_default(recipient.agent.id, bad_key_id)  # NoMasking
+        recipient.upload_aggregation(agg)
+        clerks = [make_client(service) for _ in range(3)]
+        for c in clerks:
+            c.upload_agent()
+            c.upload_encryption_key(c.new_encryption_key())
+        recipient.begin_aggregation(agg.id)
+        # the forged key lands only after the committee is elected, so the
+        # recipient never becomes a committee candidate through it
+        service.create_encryption_key(recipient.agent, tampered)
+
+        part = make_client(service)
+        part.upload_agent()
+        part.participate(np.array([1, 2, 3, 4]), agg.id)
+        recipient.end_aggregation(agg.id)
+
+        committee = service.get_committee(recipient.agent, agg.id)
+        everyone = {c.agent.id: c for c in clerks + [recipient]}
+        clerk = everyone[committee.clerks_and_keys[0][0]]
+        with pytest.raises(Invalid, match="Signature verification failed"):
+            clerk.run_chores(-1)
+
+
+def test_corrupted_sealed_box_surfaces_invalid():
+    """A corrupted ciphertext in a stored participation must surface
+    ``Invalid`` at the clerk (sealed boxes authenticate: sodium.rs:72-92),
+    never combine garbage into the aggregate."""
+    import dataclasses
+
+    with with_service("memory") as service:
+        recipient, clerks, agg = _setup_aggregation(service)
+        part = make_client(service)
+        part.upload_agent()
+        participation = part.new_participation(np.array([1, 2, 3, 4]), agg.id)
+        clerk_id, enc = participation.clerk_encryptions[0]
+        corrupted = bytearray(enc.data)
+        corrupted[len(corrupted) // 2] ^= 0xFF
+        tampered = dataclasses.replace(
+            participation,
+            clerk_encryptions=(
+                (clerk_id, type(enc)(data=bytes(corrupted))),
+            )
+            + tuple(participation.clerk_encryptions[1:]),
+        )
+        part.upload_participation(tampered)
+        recipient.end_aggregation(agg.id)
+
+        everyone = {c.agent.id: c for c in clerks + [recipient]}
+        victim = everyone[clerk_id]
+        with pytest.raises(Invalid, match="decryption failure"):
+            victim.run_chores(-1)
+
+
 def test_participation_retry_idempotent():
     with with_service("jsondir") as service:
         recipient = make_client(service)
