@@ -89,6 +89,107 @@ def test_pipeline_transposition_streams_columns(mongo_kv):
     assert empty == [[], [], []]
 
 
+def _put_participation(kv, ns, pid, n_clerks, tag):
+    kv.put(
+        ns,
+        pid,
+        {
+            "id": pid,
+            "clerk_encryptions": [
+                [f"clerk{ci}", {"Sodium": proto._b64e(bytes([ci, tag]))}]
+                for ci in range(n_clerks)
+            ],
+        },
+    )
+
+
+def test_pipeline_contract_columns_sorted_by_clerk_index(mongo_kv):
+    """$group emits in unspecified order; the adapter's correctness rests on
+    the trailing ``$sort {_id: 1}``. Pin it with shuffled insertion order:
+    columns must come out strictly clerk-index-ascending regardless."""
+    ns = "participations/sorted"
+    pids = [proto.new_id() for _ in range(7)]
+    for pi in (3, 0, 6, 2, 5, 1, 4):  # shuffled insertion
+        _put_participation(mongo_kv, ns, pids[pi], 4, pi)
+    cols = list(mongo_kv.transpose_clerk_encryptions(ns, pids, 4))
+    assert len(cols) == 4
+    for ci, col in enumerate(cols):
+        # every byte in column ci is tagged with clerk index ci — the
+        # byte-level assertion of the reference's mocked-loop test
+        # (/root/reference/integration-tests/tests/service.rs:85-92)
+        assert {proto._b64d(e["Sodium"])[0] for e in col} == {ci}
+
+
+def test_pipeline_contract_array_index_numeric(mongo_kv):
+    """``includeArrayIndex`` emits a NUMBER (a BSON long on real Mongo,
+    where ``bson.Int64`` subclasses ``int``): the adapter's ``int(_id)``
+    and the ``ix >= clerks_number`` comparison must both be valid. Pin the
+    raw pipeline output type, not just the adapter's view of it."""
+    ns = "participations/ixtype"
+    pid = proto.new_id()
+    _put_participation(mongo_kv, ns, pid, 3, 0)
+    pipeline = [
+        {"$match": {"_k": {"$in": [pid]}}},
+        {"$unwind": {"path": "$v.clerk_encryptions", "includeArrayIndex": "clerk_ix"}},
+        {"$group": {"_id": "$clerk_ix", "shares": {"$push": "$v.clerk_encryptions"}}},
+        {"$sort": {"_id": 1}},
+    ]
+    ids = [d["_id"] for d in mongo_kv._coll(ns).aggregate(pipeline, allowDiskUse=True)]
+    assert [int(i) for i in ids] == [0, 1, 2]
+    for i in ids:
+        assert isinstance(i, int) and i < 3  # int() and < both well-defined
+
+
+def test_pipeline_contract_in_subsetting(mongo_kv):
+    """$match with $in restricts the unwind to exactly the frozen snapshot
+    set — later participations must not leak into an older snapshot's jobs
+    (aggregations.rs:132-142 snapshot-tagging semantics)."""
+    ns = "participations/subset"
+    pids = [proto.new_id() for _ in range(6)]
+    for pi, pid in enumerate(pids):
+        _put_participation(mongo_kv, ns, pid, 2, pi)
+    frozen = pids[:3]
+    cols = list(mongo_kv.transpose_clerk_encryptions(ns, frozen, 2))
+    for col in cols:
+        tags = sorted(proto._b64d(e["Sodium"])[1] for e in col)
+        assert tags == [0, 1, 2]  # only the frozen set, all of it
+
+
+def test_pipeline_contract_missing_pid_raises(mongo_kv):
+    """A frozen pid absent from the collection is a corrupted snapshot: the
+    transposition must raise, never silently shrink the aggregate."""
+    ns = "participations/missing"
+    pid = proto.new_id()
+    _put_participation(mongo_kv, ns, pid, 2, 0)
+    with pytest.raises(Invalid, match="inconsistent snapshot"):
+        list(mongo_kv.transpose_clerk_encryptions(ns, [pid, proto.new_id()], 2))
+
+
+def test_pipeline_contract_short_arrays_gap_fill(mongo_kv):
+    """Participations carrying fewer encryptions than clerks_number leave
+    trailing clerk indices with no group: the adapter must still yield
+    exactly clerks_number columns, empty where no shares exist."""
+    ns = "participations/short"
+    pids = [proto.new_id() for _ in range(2)]
+    for pi, pid in enumerate(pids):
+        _put_participation(mongo_kv, ns, pid, 1, pi)  # only clerk 0
+    cols = list(mongo_kv.transpose_clerk_encryptions(ns, pids, 3))
+    assert [len(c) for c in cols] == [2, 0, 0]
+
+
+def test_upsert_contract(mongo_kv):
+    """update_one(upsert=True) must seed the filter's equality fields into
+    the created doc (so the unique ``_k`` index holds) and must never
+    duplicate on repeat — the put() path the whole KV rests on."""
+    ns = "upsert/contract"
+    mongo_kv.put(ns, "k1", {"a": 1})
+    mongo_kv.put(ns, "k1", {"a": 2})
+    coll = mongo_kv._coll(ns)
+    docs = list(coll.find({"_k": "k1"}))
+    assert len(docs) == 1
+    assert docs[0]["_k"] == "k1" and docs[0]["v"] == {"a": 2}
+
+
 def test_mongo_full_crypto_loop():
     """End-to-end packed-Shamir aggregation over the Mongo backend."""
     from tests.test_full_loop import CONFIGS, agg_default
