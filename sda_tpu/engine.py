@@ -341,6 +341,116 @@ class TpuAggregationEngine:
             self.mxu_kernel_combined = _kernel_combined
             self.aggregate_mxu_kernel_streaming = _aggregate_mxu_kernel_streaming
 
+            # ------------------------------- byte-limb MXU kernel (gen 4)
+            # Base-256 biased-digit generation (sda_tpu/ops/mxu8.py): the
+            # HBM stream is the field's information floor (2 bytes per
+            # 16-bit limb), randomness accumulates as u16 fields, and the
+            # per-lane epilogue amortises over participants — run it with
+            # the largest P the int32 accumulator bound admits.
+            from sda_tpu.ops.mxu8 import (
+                Mxu8Context,
+                batched_from_planar_lm,
+                fused_share_combine_mxu8,
+                planar8_from_batched,
+            )
+
+            mxu8 = Mxu8Context.create(self.ctx)
+            self.mxu8 = mxu8
+
+            def _planar8_secrets(secrets, lanes=1024):
+                """``[P, nb, k, L16] u32 -> [P*k*L8, NBP] int8`` biased."""
+                return planar8_from_batched(mxu8, secrets, lanes)
+
+            def _planar8_ext(ext, lanes=1024):
+                """Caller-randomness layout: ``[P, nb, k+r, L16] -> planar``."""
+                return planar8_from_batched(mxu8, ext, lanes)
+
+            @partial(jax.jit, static_argnums=(2, 3))
+            def _kernel8_step(sec8, seed, p_count, lanes):
+                rec = fused_share_combine_mxu8(
+                    mxu8, spec.share_matrix, sec8, p_count, k_, r_,
+                    seed=seed, lanes=lanes,
+                    reconstruct_matrix=spec.reconstruct_matrix,
+                )
+                return batched_from_planar_lm(rec, self.nb, k_)
+
+            def _aggregate_mxu8_kernel(sec8, seed, p_count, lanes=1024):
+                """Full share+combine+reconstruct in ONE byte-limb kernel
+                dispatch; ``sec8`` from :meth:`planar8_secrets`; returns
+                ``[nb, k, L16]``."""
+                return _kernel8_step(
+                    sec8, jnp.asarray(seed, dtype=jnp.int32), p_count, lanes
+                )
+
+            @partial(jax.jit, static_argnums=(2, 3))
+            def _kernel8_combined(sec8, seed, p_count, lanes):
+                return fused_share_combine_mxu8(
+                    mxu8, spec.share_matrix, sec8, p_count, k_, r_,
+                    seed=seed, lanes=lanes,
+                )
+
+            @jax.jit
+            def _add_mod_planar_lm(a, b):  # [L16*n, NBP] u32 canonical
+                L = self.ctx.L
+                nrows = a.shape[0] // L
+                lanes_out = self.ctx.add_mod_lanes(
+                    [a[l * nrows : (l + 1) * nrows] for l in range(L)],
+                    [b[l * nrows : (l + 1) * nrows] for l in range(L)],
+                )
+                return jnp.concatenate(lanes_out, axis=0)
+
+            @partial(jax.jit, static_argnums=(1,))
+            def _reconstruct_planar8(comb, lanes):
+                # [L16*n, NBP] u32 canonical -> [nb, k, L16] via the kernel
+                # (reconstruction = the same modular matmul, p_count=1,
+                # slots=n, no randomness)
+                L = self.ctx.L
+                bytes_ = [
+                    (
+                        (
+                            (comb[(j // 2) * n_ : (j // 2 + 1) * n_] >> (8 * (j % 2)))
+                            & 0xFF
+                        )
+                        ^ 0x80
+                    ).astype(jnp.int8)
+                    for j in range(mxu8.L8)
+                ]
+                # rows must be slot-major (i, j): [n, L8, NBP]
+                c8 = jnp.stack(bytes_, axis=1).reshape(n_ * mxu8.L8, -1)
+                rec = fused_share_combine_mxu8(
+                    mxu8, spec.reconstruct_matrix, c8, 1, n_, 0, lanes=lanes,
+                )
+                return batched_from_planar_lm(rec, self.nb, k_)
+
+            def _aggregate_mxu8_kernel_streaming(
+                chunks, p_chunk, seed0=0, lanes=1024
+            ):
+                """Config-4 scale on the byte-limb kernel: ``chunks`` yield
+                ``[P_chunk*k*L8, NBP]`` planar tensors (or callables
+                ``f(i)``); canonical per-clerk sums accumulate mod p.
+                Per-chunk PRNG seeds follow a linear schedule (benchmark
+                decorrelation — host-CSPRNG ext layouts are the protocol
+                path)."""
+                acc = None
+                for i, chunk in enumerate(chunks):
+                    sec8 = chunk(i) if callable(chunk) else jnp.asarray(chunk)
+                    part = _kernel8_combined(
+                        sec8, jnp.asarray(seed0 + 7919 * i, dtype=jnp.int32),
+                        p_chunk, lanes,
+                    )
+                    acc = part if acc is None else _add_mod_planar_lm(acc, part)
+                if acc is None:
+                    raise ValueError(
+                        "aggregate_mxu8_kernel_streaming requires at least one chunk"
+                    )
+                return _reconstruct_planar8(acc, lanes)
+
+            self.planar8_secrets = _planar8_secrets
+            self.planar8_ext = _planar8_ext
+            self.aggregate_mxu8_kernel = _aggregate_mxu8_kernel
+            self.mxu8_kernel_combined = _kernel8_combined
+            self.aggregate_mxu8_kernel_streaming = _aggregate_mxu8_kernel_streaming
+
             @jax.jit
             def _share_mxu(ext):
                 """Per-participant canonical shares on the MXU (the protocol

@@ -1,0 +1,224 @@
+"""Byte-limb (gen-4) MXU kernel vs the jnp reference (interpret on CPU).
+
+Covers sda_tpu/ops/mxu8.py: the biased-digit algebra (signed int8 operands
++ ones-column correction), the base-256 epilogue, fused reconstruction, the
+u16-field randomness-sum matrix, and the engine streaming path. The
+replaced reference hot loops are share generation (packed_shamir.rs:40-44 /
+batched.rs:19-52) and the clerk combine (combiner.rs:16-29); reveal-level
+equality against the CIOS jnp pipeline pins bit-exactness.
+
+PRNG-mode kernels need a real chip (pltpu PRNG has no CPU interpret
+lowering) — those are in the `tpu` lane; the randomness-sum matrix algebra
+is proven host-side here instead (reveal-level checks cannot see randomness
+bugs: any ``R*u`` cancels at reconstruction).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sda_tpu.engine import TpuAggregationEngine
+from sda_tpu.fields import find_prime_field
+from sda_tpu.ops.limbs import LimbContext, from_limbs
+from sda_tpu.ops.mxu8 import (
+    Mxu8Context,
+    _big8_randsum,
+    batched_from_planar_lm,
+    fused_share_combine_mxu8,
+    limbs8_host,
+    planar8_from_batched,
+)
+from sda_tpu.sharing import DeviceSchemeSpec, PackedShamirScheme
+
+_W8, _W16 = 8, 16
+
+
+def _engine(p, w2, w3, dimension):
+    scheme = PackedShamirScheme(3, 8, 4, p, w2, w3)
+    return TpuAggregationEngine(scheme.device_spec(), dimension)
+
+
+def _engines():
+    p64, w2, w3 = find_prime_field(62, 8, 9)
+    return [
+        pytest.param(_engine(433, 354, 150, 21), id="p433"),
+        pytest.param(_engine(p64, w2, w3, 24), id="p64bit"),
+    ]
+
+
+@pytest.mark.parametrize("engine", _engines())
+def test_planar8_roundtrip(engine):
+    """Biased planar bytes decode back to the original canonical values."""
+    mxu8 = engine.mxu8
+    rng = np.random.default_rng(0)
+    secrets = engine.encode_secrets(
+        rng.integers(0, engine.ctx.p, size=(3, engine.dimension))
+    )
+    lanes = 8
+    planar = np.asarray(planar8_from_batched(mxu8, jnp.asarray(secrets), lanes))
+    P, nb, k, _ = secrets.shape
+    vals = from_limbs(secrets)
+    for pi in range(P):
+        for s in range(k):
+            for j in range(mxu8.L8):
+                row = (pi * k + s) * mxu8.L8 + j
+                expect = [
+                    (int(vals[pi, b, s]) >> (_W8 * j)) & 0xFF for b in range(nb)
+                ]
+                got = [(int(v) + 128) % 256 for v in planar[row, :nb]]
+                assert got == expect
+
+
+@pytest.mark.parametrize("engine", _engines())
+def test_ext_combined_matches_jnp(engine):
+    """Caller-randomness kernel == share+combine on the CIOS jnp path."""
+    spec, ctx, mxu8 = engine.spec, engine.ctx, engine.mxu8
+    rng = np.random.default_rng(1)
+    P = 4
+    secrets = engine.encode_secrets(
+        rng.integers(0, ctx.p, size=(P, engine.dimension))
+    )
+    ext = np.concatenate([secrets, engine.random_ext(P, rng=rng)], axis=2)
+    ref = engine.combine(engine.share(jnp.asarray(ext)))
+    lanes = 8
+    ext8 = planar8_from_batched(mxu8, jnp.asarray(ext), lanes)
+    out = fused_share_combine_mxu8(
+        mxu8, spec.share_matrix, ext8, P, spec.secret_count,
+        spec.randomness_count, lanes=lanes, interpret=True,
+    )
+    got = batched_from_planar_lm(out, engine.nb, spec.share_count)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("engine", _engines())
+def test_ext_fused_reconstruction(engine):
+    """In-kernel stage-2 == reconstruct(combine(share(ext))) bit-exactly."""
+    spec, ctx, mxu8 = engine.spec, engine.ctx, engine.mxu8
+    rng = np.random.default_rng(2)
+    P = 3
+    secrets = engine.encode_secrets(
+        rng.integers(0, ctx.p, size=(P, engine.dimension))
+    )
+    ext = np.concatenate([secrets, engine.random_ext(P, rng=rng)], axis=2)
+    ref = engine.reconstruct(engine.combine(engine.share(jnp.asarray(ext))))
+    lanes = 8
+    ext8 = planar8_from_batched(mxu8, jnp.asarray(ext), lanes)
+    out = fused_share_combine_mxu8(
+        mxu8, spec.share_matrix, ext8, P, spec.secret_count,
+        spec.randomness_count, lanes=lanes,
+        reconstruct_matrix=spec.reconstruct_matrix, interpret=True,
+    )
+    got = batched_from_planar_lm(out, engine.nb, spec.secret_count)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+    # the reveal identity holds too: secrets slots of the reconstruction
+    assert np.array_equal(
+        np.asarray(got), np.asarray(ctx.sum_mod(jnp.asarray(secrets), axis=0))
+    )
+
+
+@pytest.mark.parametrize("engine", _engines())
+def test_randsum_matrix_alignment(engine):
+    """Host-side proof of the u16-field randomness-sum algebra.
+
+    Draw explicit PRNG words, sum their u16 fields over participants,
+    re-split to byte operands exactly as the kernel does, and contract with
+    ``_big8_randsum``'s unbiased entries: the result must equal the direct
+    ``sum_p M @ rand_p`` contribution mod p. Pins the (c, parity, w) row
+    mapping, the field->slot/limb indexing, padding-field handling, and the
+    bias constants — none of which a reveal-level test can see.
+    """
+    spec, ctx, mxu8 = engine.spec, engine.ctx, engine.mxu8
+    p = ctx.p
+    k, r, n = spec.secret_count, spec.randomness_count, spec.share_count
+    L8, L16r = mxu8.L8, mxu8.L16r
+    M = np.asarray(spec.share_matrix, dtype=object)
+    P = 5
+    rng = np.random.default_rng(3)
+    words_per_p = r * mxu8.rand_words
+    words = rng.integers(0, 1 << 32, size=(P, words_per_p), dtype=np.uint64)
+
+    def field(pi, f):
+        w, parity = f // 2, f % 2
+        return (int(words[pi, w]) >> (_W16 * parity)) & 0xFFFF
+
+    # direct: each participant's randomness values, through the matrix
+    direct = [0] * n
+    for pi in range(P):
+        for s in range(r):
+            val = sum(
+                field(pi, s * L16r + l1) << (_W16 * l1) for l1 in range(L16r)
+            )
+            for i in range(n):
+                direct[i] = (direct[i] + int(M[k + s, i]) * val) % p
+
+    # kernel algebra: field sums -> byte rows -> unbiased contraction
+    n_bytes = max(2, -(-((P * 0xFFFF).bit_length()) // _W8))
+    n_pad = -(-(n * L8 + 1) // 32) * 32
+    big, C = _big8_randsum(mxu8, M, k, r, n_pad, words_per_p, n_bytes)
+    e = big[: n * L8].astype(np.int64).T + 128  # unbiased entries [rows, cols]
+    fsum = [sum(field(pi, f) for pi in range(P)) for f in range(2 * words_per_p)]
+    v = []
+    for c in range(n_bytes):
+        for parity in (0, 1):
+            for w in range(words_per_p):
+                v.append((fsum[2 * w + parity] >> (_W8 * c)) & 0xFF)
+    v = np.asarray(v, dtype=np.int64)
+    true_cols = e.T @ v  # [n*L8]
+    got = [
+        sum(int(true_cols[i * L8 + l2]) << (_W8 * l2) for l2 in range(L8)) % p
+        for i in range(n)
+    ]
+    assert got == direct
+    # and the bias constant matches its definition
+    assert np.array_equal(np.asarray(C), 128 * e.sum(axis=0))
+
+
+def test_accumulator_bound_rejected():
+    p64, w2, w3 = find_prime_field(62, 8, 9)
+    engine = _engine(p64, w2, w3, 24)
+    spec, mxu8 = engine.spec, engine.mxu8
+    P = 3000  # 3000 * 3 * 8 * 255^2 > 2^31
+    sec8 = jnp.zeros((P * spec.secret_count * mxu8.L8, 8), dtype=jnp.int8)
+    with pytest.raises(ValueError, match="accumulator bound"):
+        fused_share_combine_mxu8(
+            mxu8, spec.share_matrix, sec8, P, spec.secret_count,
+            spec.randomness_count, lanes=8, interpret=True,
+        )
+
+
+@pytest.mark.tpu
+def test_prng_reveal_on_device():
+    """PRNG mode on a real chip: reveal identity vs the modular sum."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("pltpu PRNG primitives have no CPU interpret lowering")
+    p64, w2, w3 = find_prime_field(62, 8, 9)
+    engine = _engine(p64, w2, w3, 384)
+    spec, ctx, mxu8 = engine.spec, engine.ctx, engine.mxu8
+    rng = np.random.default_rng(5)
+    P = 8
+    secrets = engine.encode_secrets(rng.integers(0, ctx.p, size=(P, 384)))
+    sec8 = engine.planar8_secrets(jnp.asarray(secrets), 128)
+    out = engine.aggregate_mxu8_kernel(sec8, 7, p_count=P, lanes=128)
+    ref = ctx.sum_mod(jnp.asarray(secrets), axis=0)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.tpu
+def test_streaming_mxu8_on_device():
+    """Chunked streaming + final reconstruction == one-shot pipeline."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("pltpu PRNG primitives have no CPU interpret lowering")
+    p64, w2, w3 = find_prime_field(62, 8, 9)
+    engine = _engine(p64, w2, w3, 384)
+    spec, ctx, mxu8 = engine.spec, engine.ctx, engine.mxu8
+    rng = np.random.default_rng(6)
+    chunks = []
+    total = None
+    for c in range(3):
+        secrets = engine.encode_secrets(rng.integers(0, ctx.p, size=(4, 384)))
+        chunks.append(engine.planar8_secrets(jnp.asarray(secrets), 128))
+        s = ctx.sum_mod(jnp.asarray(secrets), axis=0)
+        total = s if total is None else ctx.add_mod(total, s)
+    out = engine.aggregate_mxu8_kernel_streaming(chunks, 4, seed0=3, lanes=128)
+    assert np.array_equal(np.asarray(out), np.asarray(total))
