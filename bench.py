@@ -3,17 +3,17 @@
 Headline metric: shared-vector aggregations/s at 1M dimension — the full
 device pipeline (packed-Shamir share generation for every participant,
 clerk combine across participants, recipient reconstruction) over a 64-bit
-prime field on the available accelerator, using the fused MXU int8 kernels
-(sda_tpu/ops/mxu_kernel.py).
+prime field, on the gen-4 byte-limb MXU kernel (sda_tpu/ops/mxu8.py) at the
+largest per-pass participant count the int32 accumulator bound admits.
 
-Also reports the BASELINE.md config ladder to stderr:
-  config 2 — 1k-dim, 64-bit field, 100 participants (single pass)
-  config 3 — 10k-dim, 128-bit modulus (8x16-bit-limb Montgomery), 1k
-             participants (streamed in 64-participant passes)
+Every BASELINE.md config reports its own roofline (fraction of the detected
+chip's ceilings — HBM, int8 MXU, VPU, and the on-core PRNG, which secure
+aggregation consumes at >3 random bytes per data byte):
+
+  config 2 — 1k-dim, 64-bit field, 100 participants, ONE kernel launch
+  config 3 — 10k-dim, 128-bit modulus (16-byte limbs), 1,024 participants
   config 4 — 1M-dim, 10k+ participants, participant-streaming (the
-             participation matrix never resides in HBM; inputs are
-             synthesised on device inside the timed loop, so the rate is
-             conservative)
+             participation matrix never resides in HBM at once)
 
 ``vs_baseline`` is the speedup against the host reference implementation
 (the numpy protocol layer in :mod:`sda_tpu.sharing`, measured on a scaled
@@ -46,174 +46,257 @@ def _fieldops(engine, participants):
     return participants * nb * (2 * m * n) + participants * nb * n + nb * (2 * n * k)
 
 
-def _bench_headline(dimension: int, participants: int):
-    """Config-4 shape single pass: canonical secrets resident in HBM."""
+def _mxu8_model(engine, p_count: int, nbp: int, in_bytes: int, out_bytes: int,
+                recon: bool = True):
+    """Roofline op/byte accounting for one mxu8 kernel pass."""
+    mxu8, spec = engine.mxu8, engine.spec
+    k, r, n = spec.secret_count, spec.randomness_count, spec.share_count
+    L8 = mxu8.L8
+    words_per_p = r * mxu8.rand_words
+    n_bytes = max(2, ((p_count * 0xFFFF).bit_length() + 7) // 8)
+    K1 = p_count * k * L8 + n_bytes * 2 * words_per_p
+    n_pad = -(-(n * L8 + 1) // 32) * 32
+    mxu_ops = 2.0 * nbp * n_pad * K1
+    row_bound = (K1 + 1) * 255 * 255
+    n_res1 = max(1, -(-((row_bound // 255) + 1).bit_length() // 8))
+    if recon:
+        n_pad2 = -(-(k * L8 + 1) // 32) * 32
+        mxu_ops += 2.0 * nbp * n_pad2 * (n * (L8 + n_res1))
+    # VPU: u16-field randomness accumulation (4 ops/word) dominates; the
+    # chain/fold epilogue is per-lane-constant (~40 ops per output limb)
+    vpu_ops = nbp * (p_count * words_per_p * 4.0 + 40.0 * n * L8)
+    prng_bytes = float(nbp) * p_count * words_per_p * 4
+    return dict(
+        hbm_bytes=float(in_bytes + out_bytes),
+        mxu_int8_ops=mxu_ops,
+        vpu_u32_ops=vpu_ops,
+        prng_bytes=prng_bytes,
+    )
+
+
+def _reveal_check_slice(engine, sec8, out_batched, p_count: int, width: int = 128):
+    """Cross-check the reveal on the first ``width`` batch positions.
+
+    Decodes the biased planar bytes back to u16-limb values on device and
+    compares ``sum_p secrets mod p`` against the kernel's reconstruction
+    (reconstruct o share is the identity on the secret slots; randomness
+    correctness is pinned separately by tests/test_mxu8.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ctx, mxu8 = engine.ctx, engine.mxu8
+    k = engine.spec.secret_count
+    L8, L = mxu8.L8, ctx.L
+    width = min(width, engine.nb)
+
+    @jax.jit
+    def ref_sum(sl):
+        d = (sl ^ 0x80).astype(jnp.uint32) & 0xFF  # unbiased bytes
+        d = d.reshape(p_count, k, L8, width)
+        x16 = jnp.stack(
+            [d[:, :, 2 * w] + (d[:, :, 2 * w + 1] << 8) for w in range(L)],
+            axis=-1,
+        )  # [P, k, width, L16]
+        x16 = jnp.transpose(x16, (0, 2, 1, 3)) % jnp.uint32(1 << 16)
+        return ctx.sum_mod(x16, axis=0)  # [width, k, L16]
+
+    import jax.numpy as jnp
+
+    got = out_batched[:width]
+    ref = ref_sum(sec8[:, :width])
+    if not bool(jnp.array_equal(got, ref)):
+        raise AssertionError("mxu8 reveal != modular participant sum")
+
+
+def _make_planar_secrets(engine, key, rows: int, nbp: int):
+    """Synthesise the participation matrix directly in the kernel's planar
+    biased-byte layout (a host->device transfer of an 8 GB tensor through
+    the dev tunnel would dominate and measure nothing).
+
+    Uniform bytes are the biased digits of uniform values; the top byte is
+    masked to 4 bits so every element is canonical (< 2^(8*L8-4) < p),
+    letting the reveal cross-check use the canonical-input device sum.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np_
+
+    L8 = engine.mxu8.L8
+    mask = np_.full((rows, 1), 0xFF, dtype=np_.uint8)
+    mask[L8 - 1 :: L8] = 0x0F
+    mask = jnp.asarray(mask)
+
+    @jax.jit
+    def make(k):
+        d = jax.random.bits(k, (rows, nbp), dtype=jnp.uint8) & mask
+        return (d ^ 0x80).astype(jnp.int8)
+
+    out = make(key)
+    out.block_until_ready()
+    return out
+
+
+def _bench_headline(dimension: int, participants: int, lanes: int = 1024):
+    """Config-4 shape single pass: biased planar bytes resident in HBM."""
     import jax
     import jax.numpy as jnp
 
     from sda_tpu.models import FederatedAggregation
-    from sda_tpu.ops.modmat import uniform_limbs
+    from sda_tpu.ops.mxu8 import batched_from_planar_lm
+    from sda_tpu.utils.profiling import roofline
 
     model = FederatedAggregation.packed_64bit(dimension=dimension)
     engine = model.engine
+    mxu8 = engine.mxu8
+    k = engine.spec.secret_count
+    nbp = -(-engine.nb // lanes) * lanes
+    rows = participants * k * mxu8.L8
 
-    # generate the participation matrix on device (host->device transfer of
-    # a GB-scale tensor through the dev tunnel would dominate and measure
-    # nothing), then pre-pack to the kernels' compact int8 limb layout
-    @jax.jit
-    def make_secrets(key):
-        return uniform_limbs(
-            engine.ctx, key, (participants, engine.nb, engine.spec.secret_count)
-        )
-
-    secrets = make_secrets(jax.random.key(7))
-    lanes = 1024
-    sec7 = jax.jit(lambda x: engine.planar7_secrets(x, lanes))(secrets)
-    sec7.block_until_ready()
+    sec8 = _make_planar_secrets(engine, jax.random.key(7), rows, nbp)
+    sec8.block_until_ready()
 
     dt, out = _timeit(
-        lambda i: engine.aggregate_mxu_kernel(
-            sec7, jnp.asarray(i, dtype=jnp.int32), p_count=participants, lanes=lanes
+        lambda i: engine.aggregate_mxu8_kernel(
+            sec8, jnp.asarray(i, dtype=jnp.int32), p_count=participants,
+            lanes=lanes,
         ),
-        iters=10,
+        iters=6,
     )
-    # cross-check the reveal: reconstruct∘share is the identity on the secret
-    # slots, so the output must equal Σ_p secrets mod p exactly, whatever the
-    # sharing randomness was (randomness correctness itself is pinned
-    # host-side by tests/test_mxu.py::test_randsum_carry_save_alignment).
-    ref = jax.jit(lambda s: engine.ctx.sum_mod(s, axis=0))(secrets)
-    if not bool(jnp.array_equal(out, ref)):
-        raise AssertionError("MXU-kernel reveal != modular participant sum")
+    _reveal_check_slice(engine, sec8, out, participants)
 
-    # roofline: achieved fraction of the detected chip's ceilings
-    from sda_tpu.utils.profiling import roofline
-
-    mxu = engine.mxu
-    spec = engine.spec
-    L7 = mxu.L7
-    k, r, n = spec.secret_count, spec.randomness_count, spec.share_count
-    nbp = sec7.shape[1]
-    n_pad = -(-(n * L7) // 32) * 32
-    words_per_p = -(-(r * 2 * L7) // 4)
-    groups = -(-participants // 129)
-    mxu_ops = 2.0 * nbp * (
-        n_pad * (participants * k * L7 + groups * 8 * words_per_p)  # stage 1
-        + 32 * n * L7  # in-kernel reconstruction
-    )
-    # carry-save randomness accumulation (5 VPU ops/word) + epilogues
-    vpu_ops = nbp * (participants * words_per_p * 5.0 + 40.0 * n * L7)
-    hbm = sec7.size + out.size * out.dtype.itemsize
-    rep = roofline(dt, hbm_bytes=hbm, mxu_int8_ops=mxu_ops, vpu_u32_ops=vpu_ops)
+    out_bytes = engine.ctx.L * k * nbp * 4
+    rep = roofline(dt, **_mxu8_model(engine, participants, nbp, sec8.size, out_bytes))
     return dt, model, rep
 
 
 def _bench_config2():
+    """1k-dim latency shape: one kernel launch, grid of one tile."""
     import jax
     import jax.numpy as jnp
 
     from sda_tpu.models import FederatedAggregation
-    from sda_tpu.ops.modmat import uniform_limbs
+    from sda_tpu.utils.profiling import roofline
 
     dimension, participants = 1002, 100
     model = FederatedAggregation.packed_64bit(dimension=dimension)
     engine = model.engine
-    secrets = jax.jit(
-        lambda k: uniform_limbs(engine.ctx, k, (participants, engine.nb, 3))
-    )(jax.random.key(1))
-    sec7 = jax.jit(lambda x: engine.planar7_secrets(x, 128))(secrets)
-    sec7.block_until_ready()
-    dt, _ = _timeit(
-        lambda i: engine.aggregate_mxu_kernel(
-            sec7, jnp.asarray(i, dtype=jnp.int32), p_count=participants, lanes=128
+    mxu8 = engine.mxu8
+    k = engine.spec.secret_count
+    lanes = -(-engine.nb // 128) * 128  # single tile: nbp == lanes
+    rows = participants * k * mxu8.L8
+    sec8 = _make_planar_secrets(engine, jax.random.key(1), rows, lanes)
+    dt, out = _timeit(
+        lambda i: engine.aggregate_mxu8_kernel(
+            sec8, jnp.asarray(i, dtype=jnp.int32), p_count=participants,
+            lanes=lanes,
         ),
         iters=30,
     )
+    _reveal_check_slice(engine, sec8, out, participants, width=lanes)
+    out_bytes = engine.ctx.L * k * lanes * 4
+    rep = roofline(dt, **_mxu8_model(engine, participants, lanes, sec8.size, out_bytes))
+    gfops = _fieldops(engine, participants) / dt / 1e9
     print(
-        f"# config 2 (1k-dim, 64-bit, {participants} participants): "
-        f"{dt*1e3:.2f} ms/step, {participants/dt:.0f} aggregations/s, "
-        f"{_fieldops(engine, participants)/dt/1e9:.2f} Gfield-ops/s",
+        f"# config 2 (1k-dim, 64-bit, {participants} participants, one launch): "
+        f"{dt*1e6:.1f} us/step, {participants/dt:.0f} aggregations/s, "
+        f"{gfops:.2f} Gfield-ops/s",
         file=sys.stderr,
     )
+    print(f"# config 2 roofline: {json.dumps(rep)}", file=sys.stderr)
+    return rep, gfops
 
 
 def _bench_config3():
-    """128-bit modulus: 8x16-bit-limb Montgomery epilogue, 19 int8 limbs."""
+    """128-bit modulus: 16-byte limbs, 1,024 participants in 2 passes."""
     import jax
     import jax.numpy as jnp
 
     from sda_tpu.models import FederatedAggregation
-    from sda_tpu.ops.modmat import uniform_limbs
+    from sda_tpu.utils.profiling import roofline
 
-    dimension, p_chunk, n_chunks = 10_002, 64, 16  # 1,024 participants
+    dimension, p_chunk, n_chunks = 10_002, 512, 2
     model = FederatedAggregation.packed_128bit(dimension=dimension)
     engine = model.engine
-    lanes = 256
-    secrets = jax.jit(
-        lambda k: uniform_limbs(engine.ctx, k, (p_chunk, engine.nb, 3))
-    )(jax.random.key(2))
-    sec7 = jax.jit(lambda x: engine.planar7_secrets(x, lanes))(secrets)
-    sec7.block_until_ready()
+    mxu8 = engine.mxu8
+    k, n = engine.spec.secret_count, engine.spec.share_count
+    lanes = 512
+    nbp = -(-engine.nb // lanes) * lanes
+    rows = p_chunk * k * mxu8.L8
+    pool = [
+        _make_planar_secrets(engine, jax.random.key(i), rows, nbp)
+        for i in range(2)
+    ]
 
     def step(i):
-        return engine.aggregate_mxu_kernel_streaming(
-            [sec7] * n_chunks, p_chunk, seed0=i, lanes=lanes
+        make = lambda j: pool[j % len(pool)]  # noqa: E731
+        return engine.aggregate_mxu8_kernel_streaming(
+            [make] * n_chunks, p_chunk, seed0=1 + i * n_chunks, lanes=lanes
         )
 
     dt, _ = _timeit(step, iters=5)
     total = p_chunk * n_chunks
+    per = _mxu8_model(engine, p_chunk, nbp, pool[0].size,
+                      engine.ctx.L * n * nbp * 4, recon=False)
+    agg = {key: v * n_chunks for key, v in per.items()}
+    rep = roofline(dt, **agg)
+    gfops = _fieldops(engine, total) / dt / 1e9
     print(
         f"# config 3 (10k-dim, 128-bit modulus, {total} participants): "
-        f"{dt*1e3:.1f} ms/step, {total/dt:.0f} aggregations/s, "
-        f"{_fieldops(engine, total)/dt/1e9:.2f} Gfield-ops/s",
+        f"{dt*1e3:.2f} ms/step, {total/dt:.0f} aggregations/s, "
+        f"{gfops:.2f} Gfield-ops/s",
         file=sys.stderr,
     )
+    print(f"# config 3 roofline: {json.dumps(rep)}", file=sys.stderr)
+    return rep, gfops
 
 
 def _bench_config4_streaming(dimension: int):
     """10k+ participants at 1M-dim: the 80+ GB participation matrix streams
-    through the kernel in 64-participant chunks.
+    through the kernel in 1,024-participant chunks.
 
     A handful of distinct chunks are pre-generated and cycled (the data is
-    HBM-resident and re-read every step, which is the realistic IO pattern);
-    sharing randomness is fresh in every kernel pass.
+    HBM-resident and re-read every step, which is the realistic IO
+    pattern); sharing randomness is fresh in every kernel pass.
     """
     import jax
     import jax.numpy as jnp
 
     from sda_tpu.models import FederatedAggregation
+    from sda_tpu.utils.profiling import roofline
 
-    p_chunk, n_chunks = 128, 79  # 10,112 participants
+    p_chunk, n_chunks = 1024, 10  # 10,240 participants
     model = FederatedAggregation.packed_64bit(dimension=dimension)
     engine = model.engine
-    mxu = engine.mxu
+    mxu8 = engine.mxu8
+    k, n = engine.spec.secret_count, engine.spec.share_count
     lanes = 1024
     nbp = -(-engine.nb // lanes) * lanes
-    rows = p_chunk * engine.spec.secret_count * mxu.L7
-
-    @jax.jit
-    def make_chunk(key):
-        # uniform 7-bit limbs = uniform values < 2^63; linearity makes the
-        # non-canonical representatives exact mod p downstream
-        bits = jax.random.bits(key, (rows, nbp), dtype=jnp.uint8)
-        return (bits & 0x7F).astype(jnp.int8)
-
-    pool = [make_chunk(jax.random.key(i)) for i in range(4)]
-    jax.block_until_ready(pool)
+    rows = p_chunk * k * mxu8.L8
+    chunk = _make_planar_secrets(engine, jax.random.key(3), rows, nbp)
 
     def step(i):
-        make = lambda j: pool[j % len(pool)]  # noqa: E731
-        return engine.aggregate_mxu_kernel_streaming(
+        make = lambda j: chunk  # noqa: E731 (HBM-resident, re-read per pass)
+        return engine.aggregate_mxu8_kernel_streaming(
             [make] * n_chunks, p_chunk, seed0=1 + i * n_chunks, lanes=lanes
         )
 
     dt, _ = _timeit(step, iters=2, warmup=0)
     total = p_chunk * n_chunks
+    per = _mxu8_model(engine, p_chunk, nbp, chunk.size,
+                      engine.ctx.L * n * nbp * 4, recon=False)
+    # inter-chunk canonical accumulation reads+writes the [L*n, NBP] sums
+    per["hbm_bytes"] += 3.0 * engine.ctx.L * n * nbp * 4
+    agg = {key: v * n_chunks for key, v in per.items()}
+    rep = roofline(dt, **agg)
     print(
         f"# config 4 (1M-dim, {total} participants, streamed from HBM in "
-        f"{p_chunk}-participant chunks): {dt:.2f} s/step, "
+        f"{p_chunk}-participant chunks): {dt:.3f} s/step, "
         f"{total/dt:.0f} aggregations/s sustained",
         file=sys.stderr,
     )
+    print(f"# config 4 roofline: {json.dumps(rep)}", file=sys.stderr)
+    return rep, total / dt
 
 
 def _bench_host_baseline(dimension: int, participants: int):
@@ -240,7 +323,7 @@ def _bench_host_baseline(dimension: int, participants: int):
 
 def main():
     dimension = 1_000_002  # divisible by secret_count=3
-    participants = 128  # VMEM-optimal chunk for the fused kernel at 1024 lanes
+    participants = 1024  # largest P within the int32 accumulator bound
     dt, model, rep = _bench_headline(dimension, participants)
     aggs_per_s = participants / dt
     fieldops = _fieldops(model.engine, participants)
@@ -250,9 +333,9 @@ def main():
         file=sys.stderr,
     )
     print(f"# roofline: {json.dumps(rep)}", file=sys.stderr)
-    _bench_config2()
-    _bench_config3()
-    _bench_config4_streaming(dimension)
+    rep2, gfops2 = _bench_config2()
+    rep3, gfops3 = _bench_config3()
+    rep4, rate4 = _bench_config4_streaming(dimension)
     host_dt = _bench_host_baseline(dimension, participants)
     print(f"# host-numpy baseline (extrapolated): {host_dt:.1f} s/step", file=sys.stderr)
     print(
@@ -266,6 +349,23 @@ def main():
                 "binding_resource": rep["binding_resource"],
                 "fraction_of_sol": rep["fraction_of_sol"],
                 "utilization": rep["utilization"],
+                "configs": {
+                    "config2_1k_dim": {
+                        "fraction_of_sol": rep2["fraction_of_sol"],
+                        "binding": rep2["binding_resource"],
+                        "gfield_ops_s": round(gfops2, 1),
+                    },
+                    "config3_128bit": {
+                        "fraction_of_sol": rep3["fraction_of_sol"],
+                        "binding": rep3["binding_resource"],
+                        "gfield_ops_s": round(gfops3, 1),
+                    },
+                    "config4_streaming": {
+                        "fraction_of_sol": rep4["fraction_of_sol"],
+                        "binding": rep4["binding_resource"],
+                        "aggs_s": round(rate4, 1),
+                    },
+                },
             }
         )
     )

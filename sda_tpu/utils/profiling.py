@@ -113,21 +113,28 @@ class ChipSpec:
     hbm_gbps: float  # HBM bandwidth, GB/s
     int8_tops: float  # MXU int8 throughput, Tops/s
     vpu_gops: float  # VPU 32-bit vector ops, Gops/s (approx)
+    prng_gbps: float = 3850.0  # on-core PRNG output, GB/s (measured v5e:
+    # one (8,128) u32 vreg per cycle ~= 4 KB x 940 MHz; other chips scaled
+    # by clock — secure-aggregation kernels draw multiple random bytes per
+    # data byte, so the PRNG is a first-class roofline resource here)
 
 
-V5E = ChipSpec(name="TPU v5e", hbm_gbps=819.0, int8_tops=394.0, vpu_gops=3760.0)
+V5E = ChipSpec(
+    name="TPU v5e", hbm_gbps=819.0, int8_tops=394.0, vpu_gops=3760.0,
+    prng_gbps=3850.0,
+)
 
 # Published peaks per generation (int8 = 2x bf16 where the MXU supports it;
 # v4 and earlier have no int8 fast path so bf16 peak is used). VPU numbers
 # are rough scalings of the v5e figure by ALU count x clock.
 _CHIP_SPECS = {
-    "v4": ChipSpec(name="TPU v4", hbm_gbps=1228.0, int8_tops=275.0, vpu_gops=4300.0),
+    "v4": ChipSpec(name="TPU v4", hbm_gbps=1228.0, int8_tops=275.0, vpu_gops=4300.0, prng_gbps=4300.0),
     "v5 lite": V5E,
     "v5e": V5E,
-    "v5p": ChipSpec(name="TPU v5p", hbm_gbps=2765.0, int8_tops=918.0, vpu_gops=7000.0),
-    "v5": ChipSpec(name="TPU v5p", hbm_gbps=2765.0, int8_tops=918.0, vpu_gops=7000.0),
-    "v6 lite": ChipSpec(name="TPU v6e", hbm_gbps=1640.0, int8_tops=1836.0, vpu_gops=7400.0),
-    "v6e": ChipSpec(name="TPU v6e", hbm_gbps=1640.0, int8_tops=1836.0, vpu_gops=7400.0),
+    "v5p": ChipSpec(name="TPU v5p", hbm_gbps=2765.0, int8_tops=918.0, vpu_gops=7000.0, prng_gbps=7200.0),
+    "v5": ChipSpec(name="TPU v5p", hbm_gbps=2765.0, int8_tops=918.0, vpu_gops=7000.0, prng_gbps=7200.0),
+    "v6 lite": ChipSpec(name="TPU v6e", hbm_gbps=1640.0, int8_tops=1836.0, vpu_gops=7400.0, prng_gbps=7600.0),
+    "v6e": ChipSpec(name="TPU v6e", hbm_gbps=1640.0, int8_tops=1836.0, vpu_gops=7400.0, prng_gbps=7600.0),
 }
 
 
@@ -157,11 +164,13 @@ def roofline(
     hbm_bytes: float = 0.0,
     mxu_int8_ops: float = 0.0,
     vpu_u32_ops: float = 0.0,
+    prng_bytes: float = 0.0,
     chip: ChipSpec | None = None,
 ) -> dict:
     """Achieved fraction of each ceiling + the binding resource.
 
     ``mxu_int8_ops`` counts multiply-adds as 2 ops (matmul convention).
+    ``prng_bytes`` is on-core random output consumed (sharing randomness).
     ``chip=None`` detects the attached chip's ceilings.
     """
     if chip is None:
@@ -170,12 +179,14 @@ def roofline(
         "hbm": hbm_bytes / seconds / 1e9 / chip.hbm_gbps if hbm_bytes else 0.0,
         "mxu_int8": mxu_int8_ops / seconds / 1e12 / chip.int8_tops if mxu_int8_ops else 0.0,
         "vpu": vpu_u32_ops / seconds / 1e9 / chip.vpu_gops if vpu_u32_ops else 0.0,
+        "prng": prng_bytes / seconds / 1e9 / chip.prng_gbps if prng_bytes else 0.0,
     }
     binding = max(util, key=util.get)
     floor_s = max(
         hbm_bytes / 1e9 / chip.hbm_gbps,
         mxu_int8_ops / 1e12 / chip.int8_tops,
         vpu_u32_ops / 1e9 / chip.vpu_gops,
+        prng_bytes / 1e9 / chip.prng_gbps,
     )
     return {
         "chip": chip.name,
