@@ -204,7 +204,34 @@ def _bench_config2():
         file=sys.stderr,
     )
     print(f"# config 2 roofline: {json.dumps(rep)}", file=sys.stderr)
-    return rep, gfops
+
+    # throughput mode: a clerk server drains many same-committee jobs in
+    # ONE launch by concatenating them along the lane (batch) axis —
+    # per-lane independence makes every job's result exact
+    jobs = 64
+    nbp_b = jobs * lanes
+    sec8b = _make_planar_secrets(engine, jax.random.key(2), rows, nbp_b)
+    dtb, outb = _timeit(
+        lambda i: engine.aggregate_mxu8_kernel(
+            sec8b, jnp.asarray(i, dtype=jnp.int32), p_count=participants,
+            lanes=1024 if nbp_b % 1024 == 0 else lanes,
+        ),
+        iters=10,
+    )
+    _reveal_check_slice(engine, sec8b, outb, participants)
+    repb = roofline(
+        dtb,
+        **_mxu8_model(engine, participants, nbp_b, sec8b.size,
+                      engine.ctx.L * k * nbp_b * 4),
+    )
+    gfopsb = jobs * _fieldops(engine, participants) / dtb / 1e9
+    print(
+        f"# config 2 batched ({jobs} jobs/launch): {dtb*1e3:.3f} ms, "
+        f"{jobs*participants/dtb:.0f} aggregations/s, {gfopsb:.2f} Gfield-ops/s",
+        file=sys.stderr,
+    )
+    print(f"# config 2 batched roofline: {json.dumps(repb)}", file=sys.stderr)
+    return rep, gfops, repb, gfopsb
 
 
 def _bench_config3():
@@ -299,6 +326,81 @@ def _bench_config4_streaming(dimension: int):
     return rep, total / dt
 
 
+def _bench_clerk_host():
+    """End-to-end clerk hot loop including the host protocol plane.
+
+    The reference clerk's job is decrypt x P -> combine -> re-encrypt
+    (clerk.rs:63-107); the device kernels only cover the middle. This
+    measures a whole clerking job at config-2 scale: P sealed boxes of
+    nb varint-encoded shares opened (threaded — ctypes releases the GIL),
+    combined on the accelerator, and the result sealed for the recipient.
+    """
+    from sda_tpu import sodium
+    from sda_tpu.engine import device_combine
+    from sda_tpu.fields import find_prime_field
+    from sda_tpu.utils.varint import decode_varints, encode_varints
+
+    p, _, _ = find_prime_field(62, 8, 9)
+    P, nb = 1000, 334  # 10 config-2 jobs' worth of participations
+    rng = np.random.default_rng(0)
+    ek, dk = sodium.box_keypair()
+    rk, _rkd = sodium.box_keypair()
+    boxes = [
+        sodium.seal(
+            encode_varints(rng.integers(0, 1 << 62, size=nb, dtype=np.int64)), ek
+        )
+        for _ in range(P)
+    ]
+
+    from concurrent.futures import ThreadPoolExecutor
+    import os
+
+    def open_all(threaded: bool):
+        if not threaded:
+            return [decode_varints(sodium.seal_open(b, ek, dk)) for b in boxes]
+        with ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 4)) as ex:
+            return list(
+                ex.map(
+                    lambda b: decode_varints(sodium.seal_open(b, ek, dk)),
+                    boxes,
+                    chunksize=32,
+                )
+            )
+
+    device_combine(p, open_all(threaded=False), chunk_size=256)  # warm jit
+    t0 = time.perf_counter()
+    vecs = open_all(threaded=False)
+    t_seq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vecs = open_all(threaded=True)
+    t_thr = time.perf_counter() - t0
+    t_host = min(t_seq, t_thr)  # decrypt_many picks the winner per host
+    t0 = time.perf_counter()
+    combined = device_combine(p, vecs, chunk_size=256)
+    t_dev = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sodium.seal(encode_varints((combined % (1 << 62)).astype(np.int64)), rk)
+    t_seal = time.perf_counter() - t0
+    total = t_host + t_dev + t_seal
+    import os as _os
+
+    print(
+        f"# clerk host plane ({P} participations x {nb} shares, "
+        f"{_os.cpu_count()} host cores): "
+        f"{total*1e3:.1f} ms/job = open {t_host*1e3:.1f} ms "
+        f"(threaded {t_thr*1e3:.1f} / sequential {t_seq*1e3:.1f}) "
+        f"+ combine {t_dev*1e3:.1f} ms "
+        f"(device incl transfers) + re-encrypt {t_seal*1e3:.2f} ms "
+        f"-> {P/total:.0f} participations/s, {1/total:.1f} jobs/s",
+        file=sys.stderr,
+    )
+    return {
+        "participations_s": round(P / total, 1),
+        "open_speedup_threaded": round(t_seq / t_thr, 2),
+        "host_fraction": round((t_host + t_seal) / total, 3),
+    }
+
+
 def _bench_host_baseline(dimension: int, participants: int):
     """Host numpy protocol path on a slice, extrapolated to the full size."""
     from sda_tpu.fields import find_prime_field
@@ -333,9 +435,10 @@ def main():
         file=sys.stderr,
     )
     print(f"# roofline: {json.dumps(rep)}", file=sys.stderr)
-    rep2, gfops2 = _bench_config2()
+    rep2, gfops2, rep2b, gfops2b = _bench_config2()
     rep3, gfops3 = _bench_config3()
     rep4, rate4 = _bench_config4_streaming(dimension)
+    clerk = _bench_clerk_host()
     host_dt = _bench_host_baseline(dimension, participants)
     print(f"# host-numpy baseline (extrapolated): {host_dt:.1f} s/step", file=sys.stderr)
     print(
@@ -354,6 +457,8 @@ def main():
                         "fraction_of_sol": rep2["fraction_of_sol"],
                         "binding": rep2["binding_resource"],
                         "gfield_ops_s": round(gfops2, 1),
+                        "batched64_gfield_ops_s": round(gfops2b, 1),
+                        "batched64_fraction_of_sol": rep2b["fraction_of_sol"],
                     },
                     "config3_128bit": {
                         "fraction_of_sol": rep3["fraction_of_sol"],
@@ -365,6 +470,7 @@ def main():
                         "binding": rep4["binding_resource"],
                         "aggs_s": round(rate4, 1),
                     },
+                    "clerk_host_plane": clerk,
                 },
             }
         )

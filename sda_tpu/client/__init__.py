@@ -255,7 +255,7 @@ class SdaClient:
         decryptor = self.crypto.new_share_decryptor(
             own_key_id, aggregation.committee_encryption_scheme
         )
-        share_vectors = [decryptor.decrypt(e) for e in job.encryptions]
+        share_vectors = decryptor.decrypt_many(job.encryptions)
 
         total_elements = sum(len(v) for v in share_vectors)
         if (
@@ -338,7 +338,7 @@ class SdaClient:
         if result.recipient_encryptions is None:
             mask = np.zeros(0, dtype=np.int64)
         else:
-            decrypted_masks = [decryptor.decrypt(e) for e in result.recipient_encryptions]
+            decrypted_masks = decryptor.decrypt_many(result.recipient_encryptions)
             mask_combiner = self.crypto.new_secret_masker(
                 aggregation.masking_scheme, self.device_bulk_threshold
             )

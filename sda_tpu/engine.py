@@ -49,6 +49,10 @@ def device_combine(modulus: int, share_vectors, chunk_size: int = 256) -> np.nda
     acc = None
 
     def flush(acc, buf):
+        if acc is not None and len(buf) < chunk_size:
+            # zero-pad the tail chunk: zeros are the additive identity, and
+            # a single chunk shape means a single jit compilation
+            buf = buf + [np.zeros_like(buf[0])] * (chunk_size - len(buf))
         limbs = jnp.asarray(ctx.encode_i64(np.asarray(buf, dtype=np.int64)))
         part = ctx.sum_mod(limbs, axis=0)
         return part if acc is None else ctx.add_mod(acc, part)
