@@ -75,15 +75,21 @@ class ShareDecryptor:
 
         The reference opens every participation's sealed box sequentially
         inside the clerk hot loop (clerk.rs:78-82, with the FIXME at 71-72
-        about exactly this). Both halves of our decrypt release the GIL —
-        libsodium's ``crypto_box_seal_open`` and the native varint decoder
-        are ctypes calls — so a thread pool scales the host plane across
-        cores. Order is preserved; any tampered box raises ``Invalid``
-        exactly as the sequential path does.
+        about exactly this). Preferred path: ONE native call
+        (native/sealed_batch.cpp) runs seal_open + varint decode for the
+        whole job on a C++ thread pool, no per-box interpreter overhead.
+        Fallback: a Python thread pool (both halves of decrypt release the
+        GIL under ctypes), or the sequential loop below 3 cores where pool
+        overhead beats X25519 parallelism. Order is preserved; any tampered
+        box raises ``Invalid`` exactly as the sequential path does.
         """
         import os
 
         encryptions = list(encryptions)
+        if len(encryptions) >= 8:
+            got = _native_open_batch(encryptions, self._ek, self._dk, workers)
+            if got is not None:
+                return got
         n_cores = os.cpu_count() or 1
         if len(encryptions) < 8 or (workers or n_cores) <= 2:
             # pool overhead beats X25519 parallelism below ~3 cores
@@ -92,6 +98,54 @@ class ShareDecryptor:
 
         with ThreadPoolExecutor(max_workers=workers or min(32, n_cores)) as ex:
             return list(ex.map(self.decrypt, encryptions, chunksize=32))
+
+
+def _native_open_batch(encryptions, ek: bytes, dk: bytes, workers):
+    """Whole-job sealed-box open via native/sealed_batch.cpp, or ``None``
+    when the native library (or its libsodium) is unavailable."""
+    import ctypes
+    import os
+
+    from sda_tpu.utils.varint import _NATIVE
+
+    if _NATIVE is None or not hasattr(_NATIVE, "sda_sealed_open_batch"):
+        return None
+    if not getattr(_native_open_batch, "_typed", False):
+        _NATIVE.sda_sealed_open_batch.restype = ctypes.c_int
+        _NATIVE.sda_sealed_open_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_size_t, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+        ]
+        _native_open_batch._typed = True
+    datas = [e.data for e in encryptions]
+    offs = np.zeros(len(datas) + 1, dtype=np.uintp)
+    offs[1:] = np.cumsum([len(d) for d in datas], dtype=np.uint64)
+    blob = np.frombuffer(b"".join(datas), dtype=np.uint8)
+    # each plaintext byte yields at most one varint value; sizing rows by
+    # the largest box bounds every decode
+    max_vals = max(int(offs[i + 1] - offs[i]) for i in range(len(datas)))
+    out = np.empty((len(datas), max_vals), dtype=np.int64)
+    lens = np.empty(len(datas), dtype=np.uintp)
+    rc = _NATIVE.sda_sealed_open_batch(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        len(datas), ek, dk,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_vals,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        workers or min(32, os.cpu_count() or 1),
+    )
+    if rc != 0:
+        return None
+    bad = np.uintp((1 << 64) - 1)  # SIZE_MAX sentinel from the native side
+    result = []
+    for i in range(len(datas)):
+        if lens[i] == bad:
+            raise Invalid("sodium seal_open failure (tampered or wrong key)")
+        result.append(out[i, : int(lens[i])].copy())
+    return result
 
 
 class CryptoModule:

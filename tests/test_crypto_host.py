@@ -157,3 +157,32 @@ def test_chacha_masker_uploads_seed_not_mask():
     assert positive(out, 433).tolist() == list(range(50))
     with pytest.raises(Invalid):
         m.mask(np.arange(49))
+
+
+def test_decrypt_many_matches_sequential_and_raises_on_tamper():
+    """Bulk decryption (native batch / thread pool) == the sequential path,
+    and a tampered box surfaces Invalid exactly like decrypt() does
+    (clerk.rs:78-82 semantics at bulk scale)."""
+    from sda_tpu import sodium
+    from sda_tpu import protocol as proto
+    from sda_tpu.client.crypto import ShareDecryptor
+    from sda_tpu.utils.varint import encode_varints
+
+    ek, dk = sodium.box_keypair()
+    rng = np.random.default_rng(7)
+    vecs = [
+        rng.integers(-(1 << 62), 1 << 62, size=n, dtype=np.int64)
+        for n in (5, 33, 1, 129, 64, 7, 12, 90, 2, 40)
+    ]
+    encs = [proto.Encryption(data=sodium.seal(encode_varints(v), ek)) for v in vecs]
+    d = ShareDecryptor(ek, dk)
+    got = d.decrypt_many(encs)
+    assert len(got) == len(vecs)
+    for g, v in zip(got, vecs):
+        assert np.array_equal(np.asarray(g), v)
+    # tampering any box must raise, not silently combine garbage
+    evil = list(encs)
+    data = evil[4].data
+    evil[4] = proto.Encryption(data=data[:-1] + bytes([data[-1] ^ 1]))
+    with pytest.raises(Invalid):
+        d.decrypt_many(evil)
