@@ -24,10 +24,17 @@ project publishes no numbers of its own (BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compiled-executable cache: the big-shape kernels recompile per
+# process otherwise (minutes each through the remote compile helper)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp")
+)
 
 
 def _timeit(fn, iters: int, warmup: int = 1):
@@ -120,17 +127,15 @@ def _make_planar_secrets(engine, key, rows: int, nbp: int):
     """
     import jax
     import jax.numpy as jnp
-    import numpy as np_
 
     L8 = engine.mxu8.L8
-    mask = np_.full((rows, 1), 0xFF, dtype=np_.uint8)
-    mask[L8 - 1 :: L8] = 0x0F
-    mask = jnp.asarray(mask)
 
     @jax.jit
     def make(k):
-        d = jax.random.bits(k, (rows, nbp), dtype=jnp.uint8) & mask
-        return (d ^ 0x80).astype(jnp.int8)
+        d = jax.random.bits(k, (rows, nbp), dtype=jnp.uint8)
+        d = d.reshape(rows // L8, L8, nbp)
+        d = jnp.concatenate([d[:, : L8 - 1], d[:, L8 - 1 :] & 0x0F], axis=1)
+        return (d.reshape(rows, nbp) ^ 0x80).astype(jnp.int8)
 
     out = make(key)
     out.block_until_ready()
@@ -156,14 +161,16 @@ def _bench_headline(dimension: int, participants: int, lanes: int = 1024):
     sec8 = _make_planar_secrets(engine, jax.random.key(7), rows, nbp)
     sec8.block_until_ready()
 
+    # correctness first (also warms the compile), THEN the profiled timing
+    out = engine.aggregate_mxu8_kernel(sec8, 0, p_count=participants, lanes=lanes)
+    _reveal_check_slice(engine, sec8, out, participants)
     dt, out = _timeit(
         lambda i: engine.aggregate_mxu8_kernel(
             sec8, jnp.asarray(i, dtype=jnp.int32), p_count=participants,
             lanes=lanes,
         ),
-        iters=6,
+        iters=5,
     )
-    _reveal_check_slice(engine, sec8, out, participants)
 
     out_bytes = engine.ctx.L * k * nbp * 4
     rep = roofline(dt, **_mxu8_model(engine, participants, nbp, sec8.size, out_bytes))
@@ -292,7 +299,9 @@ def _bench_config4_streaming(dimension: int):
     from sda_tpu.models import FederatedAggregation
     from sda_tpu.utils.profiling import roofline
 
-    p_chunk, n_chunks = 1024, 10  # 10,240 participants
+    # chunk size matches the headline pass so the participation-matrix
+    # maker and kernel shapes are shared (one compile serves both configs)
+    p_chunk, n_chunks = 768, 14  # 10,752 participants
     model = FederatedAggregation.packed_64bit(dimension=dimension)
     engine = model.engine
     mxu8 = engine.mxu8
@@ -425,7 +434,10 @@ def _bench_host_baseline(dimension: int, participants: int):
 
 def main():
     dimension = 1_000_002  # divisible by secret_count=3
-    participants = 1024  # largest P within the int32 accumulator bound
+    # per-pass participant count: the int32 accumulator bound admits ~1300,
+    # but 768 leaves the ~2 GB of HBM headroom the profiler session needs
+    # next to the 6.1 GB resident participation matrix on a 16 GB chip
+    participants = 768
     dt, model, rep = _bench_headline(dimension, participants)
     aggs_per_s = participants / dt
     fieldops = _fieldops(model.engine, participants)

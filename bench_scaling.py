@@ -18,6 +18,10 @@ import os
 import sys
 import time
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp")
+)
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -58,12 +62,12 @@ def main() -> int:
             jeb.clear_backends()
 
     from sda_tpu.engine import TpuAggregationEngine
-    from sda_tpu.fields import find_prime_field
+    from sda_tpu.fields import find_special_prime_field
     from sda_tpu.parallel import ShardedAggregationPipeline, make_mesh
     from sda_tpu.sharing import PackedShamirScheme
     from sda_tpu.ops.modmat import uniform_limbs
 
-    p, w2, w3 = find_prime_field(62, 8, 9)
+    p, w2, w3 = find_special_prime_field(63, 8, 9)
     scheme = PackedShamirScheme(3, 8, 4, p, w2, w3)
 
     results = {}
@@ -80,12 +84,10 @@ def main() -> int:
         secrets_arr = jax.jit(
             lambda k: uniform_limbs(engine.ctx, k, (p_count, engine.nb, 3)),
         )(key)
-        if jax.default_backend() != "cpu" and hasattr(pipe, "aggregate_mxu"):
-            # real chips: the MXU int8 kernel path (in-VMEM PRNG randomness)
-            sec7 = pipe.shard_planar(
-                jax.jit(lambda x: engine.planar7_secrets(x, 512))(secrets_arr)
-            )
-            step = lambda i: pipe.aggregate_mxu(sec7, i)  # noqa: E731
+        if jax.default_backend() != "cpu" and hasattr(pipe, "aggregate_mxu8"):
+            # real chips: the gen-4 byte-limb kernel (in-VMEM PRNG randomness)
+            sec8 = jax.jit(lambda x: engine.planar8_secrets(x, 512))(secrets_arr)
+            step = lambda i: pipe.aggregate_mxu8(sec8, i)  # noqa: E731
         else:
             # virtual CPU mesh: jnp pipeline (Pallas PRNG has no CPU lowering)
             secrets = pipe.shard_inputs(secrets_arr)
@@ -150,25 +152,25 @@ def main() -> int:
                     engine.ctx, k, (p_chunk, engine.nb, engine.spec.randomness_count)
                 )
             )(key)
-            planar = jax.jit(lambda s, r: engine.planar7_ext(
+            planar = jax.jit(lambda s, r: engine.planar8_ext(
                 jnp.concatenate([s, r], axis=2), 512))(sec, rand)
             ext = True
         else:
-            planar = jax.jit(lambda s: engine.planar7_secrets(s, 512))(sec)
+            planar = jax.jit(lambda s: engine.planar8_secrets(s, 512))(sec)
             ext = False
         planar = pipe.shard_planar(planar)
         chunks = [planar] * n_chunks  # same device buffer: isolates compute
 
         def run():
             t0 = time.perf_counter()
-            step = pipe._mxu_chunk_step_ext if ext else pipe._mxu_chunk_step
+            step = pipe._mxu8_chunk_step_ext if ext else pipe._mxu8_chunk_step
             acc = None
             for i in range(n_chunks):
                 part = step(chunks[i], jnp.asarray(7919 * i, jnp.int32))
                 acc = part if acc is None else pipe._add_mod_sharded(acc, part)
             jax.block_until_ready(acc)
             t1 = time.perf_counter()
-            out = pipe._mxu_stream_finish(acc)
+            out = pipe._mxu8_stream_finish(acc)
             jax.block_until_ready(out)
             t2 = time.perf_counter()
             return t1 - t0, t2 - t1

@@ -296,3 +296,29 @@ def find_prime_field(min_bits: int, order2: int, order3: int) -> tuple[int, int,
             w3 = f.find_element_of_order(order3)
             return p, int(w2), int(w3)
         k += 1
+
+
+def find_special_prime_field(
+    bits: int, order2: int, order3: int, max_c: int = 1 << 13
+) -> tuple[int, int, int]:
+    """Pseudo-Mersenne variant of :func:`find_prime_field`: the largest
+    prime ``p = 2^bits - c`` (smallest ``c``) with ``order2 * order3 |
+    p - 1``.
+
+    For such primes ``x mod p`` is two shift-multiply-add folds plus one
+    conditional subtract (``2^bits ≡ c``), which replaces the Montgomery
+    machinery in device epilogues — the production-prime choice, the same
+    way ZK systems pick Goldilocks-style fields. The scheme itself accepts
+    any odd prime; this only selects a fast one.
+    """
+    step = order2 * order3
+    for c in range(1, max_c):
+        p = (1 << bits) - c
+        if p % step == 1 and _is_probable_prime(p):
+            f = PrimeField(p)
+            return p, int(f.find_element_of_order(order2)), int(
+                f.find_element_of_order(order3)
+            )
+    raise ValueError(
+        f"no 2^{bits}-c prime with {step} | p-1 for c < {max_c}"
+    )

@@ -78,10 +78,16 @@ class FederatedAggregation:
 
     @classmethod
     def packed_64bit(cls, dimension: int = 1024, committee: int = 8) -> "FederatedAggregation":
-        """BASELINE config-2 shape: 64-bit prime field, packed Shamir."""
-        from sda_tpu.fields import find_prime_field
+        """BASELINE config-2 shape: 64-bit prime field, packed Shamir.
 
-        p, w2, w3 = find_prime_field(62, 8, 9)
+        The production prime is pseudo-Mersenne (p = 2^63 - 871, 72 | p-1)
+        so device canonicalisation is multiply-free (fields.
+        find_special_prime_field); any odd prime works via the generic
+        Montgomery path.
+        """
+        from sda_tpu.fields import find_special_prime_field
+
+        p, w2, w3 = find_special_prime_field(63, 8, 9)
         scheme = PackedShamirScheme(
             secret_count=3,
             share_count=committee,
@@ -94,10 +100,12 @@ class FederatedAggregation:
 
     @classmethod
     def packed_128bit(cls, dimension: int = 10_000) -> "FederatedAggregation":
-        """BASELINE config-3 shape: 128-bit modulus, multi-limb Montgomery."""
-        from sda_tpu.fields import find_prime_field
+        """BASELINE config-3 shape: 128-bit modulus, multi-limb arithmetic
+        (pseudo-Mersenne p = 2^127 - 1495 for the multiply-free device
+        canonicalisation)."""
+        from sda_tpu.fields import find_special_prime_field
 
-        p, w2, w3 = find_prime_field(125, 8, 9)
+        p, w2, w3 = find_special_prime_field(127, 8, 9)
         scheme = PackedShamirScheme(
             secret_count=3,
             share_count=8,

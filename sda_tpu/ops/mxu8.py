@@ -104,17 +104,24 @@ class Mxu8Context:
     L8: int
     chunk8: int
     L16r: int
+    special: tuple[int, int] | None = None  # (e, c) when p = 2^e - c
 
     @classmethod
     def create(cls, ctx: LimbContext) -> "Mxu8Context":
         p = ctx.p
         if p.bit_length() <= _W8:
             raise ValueError("modulus too small for byte-limb chunking")
+        e = p.bit_length()
+        c = (1 << e) - p
+        # pseudo-Mersenne fast reduction: see _fold8_special. c must keep
+        # the per-half products in u32, and bit e must live inside the lanes
+        special = (e, c) if c < (1 << 14) and e < _W16 * ctx.L else None
         return cls(
             ctx=ctx,
             L8=2 * ctx.L,
             chunk8=(p.bit_length() - 1) // _W8,
             L16r=-(-(p.bit_length() + 64) // _W16),
+            special=special,
         )
 
     @property
@@ -275,13 +282,57 @@ def _true_chain(acc_cols, c_ref, s128, n_res: int):
     return limbs
 
 
+def _fold8_special(mxu8: Mxu8Context, limbs):
+    """Pseudo-Mersenne canonicalisation: byte limbs -> L16 u32 lanes.
+
+    For ``p = 2^e - c`` (small ``c``), ``V mod p`` needs no Montgomery
+    multiplies: ``V = lo + 2^e * hi ≡ lo + c * hi``. Two fold rounds bring
+    any ``V < 2^(e+31)`` under ``2^e + c``, then one conditional subtract
+    lands in ``[0, p)``. ~20 cheap u32 ops per output vs ~2 full CIOS
+    Montgomery multiplies — this is why the flagship configurations pick
+    pseudo-Mersenne NTT primes (fields.find_special_prime_field).
+    """
+    ctx = mxu8.ctx
+    e, c = mxu8.special
+    L = ctx.L
+    zero = jnp.zeros_like(limbs[0], dtype=jnp.uint32)
+    lanes = []
+    for w in range(-(-len(limbs) // 2)):
+        v = limbs[2 * w].astype(jnp.uint32)
+        if 2 * w + 1 < len(limbs):
+            v = v | (limbs[2 * w + 1].astype(jnp.uint32) << _W8)
+        lanes.append(v)
+    wE, sh = e // _W16, e % _W16
+    for _round in range(2):
+        hi = lanes[wE] >> sh
+        bits = _W16 - sh
+        for w in range(wE + 1, len(lanes)):
+            hi = hi | (lanes[w] << bits)
+            bits += _W16
+        lanes = lanes[:wE] + [lanes[wE] & ((1 << sh) - 1)]
+        lanes += [zero] * (L - len(lanes))
+        # V mod p = lo + hi*c; halves keep every product inside u32
+        add0 = (hi & _MASK16) * c
+        add1 = (hi >> _W16) * c
+        incoming = (add0 & _MASK16, (add0 >> _W16) + (add1 & _MASK16), add1 >> _W16)
+        carry = zero
+        for w in range(L):
+            t = lanes[w] + (incoming[w] if w < 3 else zero) + carry
+            lanes[w] = t & _MASK16
+            carry = t >> _W16
+    return ctx._cond_sub(lanes[:L], zero)
+
+
 def _fold8(mxu8: Mxu8Context, consts_ref, limbs):
     """Byte limbs (list of nonneg ``[n, T]``) -> canonical L16 u32 lanes.
 
     Chunks of ``chunk8`` bytes are canonical by construction (< 2^(8*chunk8)
     <= p); each regroups into 16-bit lanes with no straddling (two bytes
-    per lane) and folds via one Montgomery multiply per chunk.
+    per lane) and folds via one Montgomery multiply per chunk — or, for
+    pseudo-Mersenne moduli, the multiply-free :func:`_fold8_special`.
     """
+    if mxu8.special is not None and _W8 * len(limbs) - mxu8.special[0] <= 31:
+        return _fold8_special(mxu8, limbs)
     ctx = mxu8.ctx
     n_chunks = -(-len(limbs) // mxu8.chunk8)
     zero = jnp.zeros_like(limbs[0], dtype=jnp.uint32)

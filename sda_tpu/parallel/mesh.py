@@ -267,6 +267,123 @@ class ShardedAggregationPipeline:
 
             self.aggregate_mxu_streaming = aggregate_mxu_streaming
 
+        # ------------------------------- byte-limb (gen-4) sharded step
+        # Same collective structure as the mxu path — per-chip fused
+        # share+combine, modular all-reduce over ("p","c"), local
+        # reconstruction — on sda_tpu/ops/mxu8.py's biased-digit kernel.
+        if getattr(engine, "mxu8", None) is not None:
+            from sda_tpu.ops.mxu8 import fused_share_combine_mxu8
+
+            mxu8 = engine.mxu8
+            k_ = spec.secret_count
+            r_ = spec.randomness_count
+            n_ = spec.share_count
+            L8 = mxu8.L8
+            L16 = ctx.L
+            pspec_planar = P(("p", "c"), "d")
+            pspec_partial8 = P(("p", "c"), None, "d", None)
+
+            def _comb_to_limb_last(comb):  # [L16*n, NBP] -> [n, NBP, L16]
+                return jnp.transpose(
+                    comb.reshape(L16, n_, comb.shape[-1]), (1, 2, 0)
+                )
+
+            def _recon_local(x, lanes):  # [n, NBP_loc, L16] canonical
+                bytes_ = [
+                    (((x[..., j // 2] >> (8 * (j % 2))) & 0xFF) ^ 0x80).astype(
+                        jnp.int8
+                    )
+                    for j in range(L8)
+                ]
+                c8 = jnp.stack(bytes_, axis=1).reshape(n_ * L8, x.shape[1])
+                rec = fused_share_combine_mxu8(
+                    mxu8, spec.reconstruct_matrix, c8, 1, n_, 0, lanes=lanes,
+                )  # [L16*k, NBP_loc]
+                return jnp.transpose(
+                    rec.reshape(L16, k_, x.shape[1]), (2, 1, 0)
+                )  # [NBP_loc, k, L16]
+
+            def _mxu8_chunk_body(sec8_loc, seed, slots):
+                idx = jax.lax.axis_index("p") * n_c + jax.lax.axis_index("c")
+                local_seed = seed + jnp.int32(1315423911) * idx.astype(jnp.int32)
+                p_loc = sec8_loc.shape[0] // (slots * L8)
+                lanes = min(512, sec8_loc.shape[1])
+                comb = fused_share_combine_mxu8(
+                    mxu8, spec.share_matrix, sec8_loc, p_loc, k_, r_,
+                    seed=local_seed, lanes=lanes,
+                )
+                return _comb_to_limb_last(comb)[None]
+
+            def _make_chunk_step8(with_prng):
+                slots = k_ if with_prng else k_ + r_
+                return jax.jit(
+                    jax.shard_map(
+                        lambda s, seed: _mxu8_chunk_body(s, seed, slots),
+                        mesh=mesh,
+                        in_specs=(pspec_planar, P()),
+                        out_specs=pspec_partial8,
+                        check_vma=False,
+                    )
+                )
+
+            self._mxu8_chunk_step = _make_chunk_step8(True)
+            self._mxu8_chunk_step_ext = _make_chunk_step8(False)
+            self.planar_sharding = NamedSharding(mesh, pspec_planar)
+
+            def _finish_body8(acc_loc):
+                x = acc_loc[0]  # [n, NBP_loc, L16] this shard's partial sum
+                x = psum_mod(ctx, x, "p")
+                x = psum_mod(ctx, x, "c")
+                return _recon_local(x, min(512, x.shape[1]))
+
+            self._mxu8_stream_finish = jax.jit(
+                jax.shard_map(
+                    _finish_body8,
+                    mesh=mesh,
+                    in_specs=(pspec_partial8,),
+                    out_specs=P("d", None, None),
+                    check_vma=False,
+                )
+            )
+
+            def aggregate_mxu8(sec8, seed):
+                """Single-pass gen-4 sharded step: ``sec8`` ``[P*k*L8, NBP]``
+                biased planar bytes (engine.planar8_secrets), randomness
+                from the on-chip PRNG decorrelated per shard. Returns
+                ``[NBP, k, L16]`` (slice to ``engine.nb`` rows)."""
+                part = self._mxu8_chunk_step(
+                    self.shard_planar(sec8), jnp.asarray(seed, jnp.int32)
+                )
+                return self._mxu8_stream_finish(part)
+
+            def aggregate_mxu8_streaming(chunks, seed0: int = 0, ext: bool = False):
+                """Streaming + sharded gen-4 aggregation (config-5 shape).
+
+                Semantics identical to :meth:`aggregate_mxu_streaming`
+                (per-chunk local fused combines, no collectives in the
+                loop, one modular all-reduce + reconstruction at the end);
+                the planar chunks are biased byte limbs ``[P_chunk*slots*
+                L8, NBP]``. ``ext=True`` = caller-supplied host-CSPRNG
+                randomness (the protocol path); the in-kernel PRNG seed
+                schedule is a benchmark decorrelation device only.
+                """
+                step = self._mxu8_chunk_step_ext if ext else self._mxu8_chunk_step
+                acc = None
+                for i, chunk in enumerate(chunks):
+                    sec8 = chunk(i) if callable(chunk) else chunk
+                    sec8 = self.shard_planar(sec8)
+                    part = step(sec8, jnp.asarray(seed0 + 7919 * i, jnp.int32))
+                    acc = part if acc is None else self._add_mod_sharded(acc, part)
+                if acc is None:
+                    raise ValueError(
+                        "aggregate_mxu8_streaming requires at least one chunk"
+                    )
+                return self._mxu8_stream_finish(acc)
+
+            self._add_mod_sharded = jax.jit(ctx.add_mod)
+            self.aggregate_mxu8 = aggregate_mxu8
+            self.aggregate_mxu8_streaming = aggregate_mxu8_streaming
+
     def shard_planar(self, sec7):
         """Shard a planar int8 tensor: participant rows over ("p","c"),
         lane blocks over "d"."""

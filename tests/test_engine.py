@@ -174,6 +174,42 @@ def test_sharded_mxu_streaming_matches_single_device(rng):
     assert got == expect
 
 
+def test_sharded_mxu8_streaming_matches_single_device(rng):
+    """The gen-4 (byte-limb) config-5 path agrees bit-exactly with the
+    single-device pipeline across chunks on a (p=2, d=2, c=2) mesh."""
+    from sda_tpu.fields import find_special_prime_field
+    from sda_tpu.parallel import ShardedAggregationPipeline, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    p, w2, w3 = find_special_prime_field(63, 8, 9)
+    scheme = PackedShamirScheme(3, 8, 4, p, w2, w3)
+    d = 12
+    engine = TpuAggregationEngine(scheme.device_spec(), d)
+    mesh = make_mesh({"p": 2, "d": 2, "c": 2})
+    pipe = ShardedAggregationPipeline(engine, mesh)
+    p_chunk, n_chunks = 8, 2
+    p_count = p_chunk * n_chunks
+    secrets = np.array(
+        [[int(rng.integers(0, 1 << 62)) for _ in range(d)] for _ in range(p_count)],
+        dtype=object,
+    )
+    enc = jnp.asarray(engine.encode_secrets(secrets))
+    rand = jnp.asarray(engine.random_ext(p_count, rng=rng))
+    single = engine.aggregate(enc, rand)
+    ext = jnp.concatenate([enc, rand], axis=2)
+    chunks = [
+        engine.planar8_ext(ext[i * p_chunk : (i + 1) * p_chunk], lanes=8)
+        for i in range(n_chunks)
+    ]
+    out = pipe.aggregate_mxu8_streaming(chunks, ext=True)
+    got = [int(x) for x in engine.decode_output(np.asarray(out))]
+    want = [int(x) for x in engine.decode_output(np.asarray(single))]
+    assert got == want
+    expect = [int(sum(secrets[i][j] for i in range(p_count))) % p for j in range(d)]
+    assert got == expect
+
+
 def test_device_combine_matches_host(rng):
     from sda_tpu.engine import device_combine
     from sda_tpu.fields import positive

@@ -40,10 +40,17 @@ def _engine(p, w2, w3, dimension):
 
 
 def _engines():
+    from sda_tpu.fields import find_special_prime_field
+
     p64, w2, w3 = find_prime_field(62, 8, 9)
+    ps, ws2, ws3 = find_special_prime_field(63, 8, 9)
+    ps128, wa, wb = find_special_prime_field(127, 8, 9)
     return [
         pytest.param(_engine(433, 354, 150, 21), id="p433"),
         pytest.param(_engine(p64, w2, w3, 24), id="p64bit"),
+        # pseudo-Mersenne: exercises the multiply-free _fold8_special
+        pytest.param(_engine(ps, ws2, ws3, 24), id="p63special"),
+        pytest.param(_engine(ps128, wa, wb, 24), id="p127special"),
     ]
 
 
@@ -53,7 +60,7 @@ def test_planar8_roundtrip(engine):
     mxu8 = engine.mxu8
     rng = np.random.default_rng(0)
     secrets = engine.encode_secrets(
-        rng.integers(0, engine.ctx.p, size=(3, engine.dimension))
+        rng.integers(0, min(engine.ctx.p, 1 << 62), size=(3, engine.dimension))
     )
     lanes = 8
     planar = np.asarray(planar8_from_batched(mxu8, jnp.asarray(secrets), lanes))
@@ -77,7 +84,7 @@ def test_ext_combined_matches_jnp(engine):
     rng = np.random.default_rng(1)
     P = 4
     secrets = engine.encode_secrets(
-        rng.integers(0, ctx.p, size=(P, engine.dimension))
+        rng.integers(0, min(ctx.p, 1 << 62), size=(P, engine.dimension))
     )
     ext = np.concatenate([secrets, engine.random_ext(P, rng=rng)], axis=2)
     ref = engine.combine(engine.share(jnp.asarray(ext)))
@@ -98,7 +105,7 @@ def test_ext_fused_reconstruction(engine):
     rng = np.random.default_rng(2)
     P = 3
     secrets = engine.encode_secrets(
-        rng.integers(0, ctx.p, size=(P, engine.dimension))
+        rng.integers(0, min(ctx.p, 1 << 62), size=(P, engine.dimension))
     )
     ext = np.concatenate([secrets, engine.random_ext(P, rng=rng)], axis=2)
     ref = engine.reconstruct(engine.combine(engine.share(jnp.asarray(ext))))
@@ -197,7 +204,7 @@ def test_prng_reveal_on_device():
     spec, ctx, mxu8 = engine.spec, engine.ctx, engine.mxu8
     rng = np.random.default_rng(5)
     P = 8
-    secrets = engine.encode_secrets(rng.integers(0, ctx.p, size=(P, 384)))
+    secrets = engine.encode_secrets(rng.integers(0, min(ctx.p, 1 << 62), size=(P, 384)))
     sec8 = engine.planar8_secrets(jnp.asarray(secrets), 128)
     out = engine.aggregate_mxu8_kernel(sec8, 7, p_count=P, lanes=128)
     ref = ctx.sum_mod(jnp.asarray(secrets), axis=0)
