@@ -97,11 +97,18 @@ def main() -> int:
         out = step(0)
         jax.block_until_ready(out)
         iters = 5
-        t0 = time.perf_counter()
-        for i in range(iters):
-            out = step(i + 1)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
+        if jax.default_backend() == "cpu":
+            t0 = time.perf_counter()
+            for i in range(iters):
+                out = step(i + 1)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / iters
+        else:
+            # tunneled TPU backends deflate wall-clock loop timing (see
+            # sda_tpu/utils/profiling.py) — use the profiler device trace
+            from sda_tpu.utils.profiling import device_time
+
+            dt, out = device_time(step, iters=iters)
         # field-op accounting per step (share matmul + combine + reconstruct)
         spec = engine.spec
         m, n, k = spec.secret_count + spec.randomness_count, spec.share_count, spec.secret_count
@@ -161,22 +168,32 @@ def main() -> int:
         planar = pipe.shard_planar(planar)
         chunks = [planar] * n_chunks  # same device buffer: isolates compute
 
-        def run():
-            t0 = time.perf_counter()
-            step = pipe._mxu8_chunk_step_ext if ext else pipe._mxu8_chunk_step
+        step_fn = pipe._mxu8_chunk_step_ext if ext else pipe._mxu8_chunk_step
+
+        def chunk_loop(seed0):
             acc = None
             for i in range(n_chunks):
-                part = step(chunks[i], jnp.asarray(7919 * i, jnp.int32))
+                part = step_fn(
+                    chunks[i], jnp.asarray(seed0 + 7919 * i, jnp.int32)
+                )
                 acc = part if acc is None else pipe._add_mod_sharded(acc, part)
-            jax.block_until_ready(acc)
-            t1 = time.perf_counter()
-            out = pipe._mxu8_stream_finish(acc)
-            jax.block_until_ready(out)
-            t2 = time.perf_counter()
-            return t1 - t0, t2 - t1
+            return acc
 
-        run()  # warmup/compile
-        loop_s, finish_s = run()
+        acc0 = jax.block_until_ready(chunk_loop(0))
+        if jax.default_backend() == "cpu":
+            t0 = time.perf_counter()
+            jax.block_until_ready(chunk_loop(1))
+            t1 = time.perf_counter()
+            jax.block_until_ready(pipe._mxu8_stream_finish(acc0))
+            t2 = time.perf_counter()
+            loop_s, finish_s = t1 - t0, t2 - t1
+        else:
+            from sda_tpu.utils.profiling import device_time
+
+            loop_s, _ = device_time(chunk_loop, iters=3)
+            finish_s, _ = device_time(
+                lambda i: pipe._mxu8_stream_finish(acc0), iters=5
+            )
         total_p = p_chunk * n_chunks
         spec = engine.spec
         m, n = spec.secret_count + spec.randomness_count, spec.share_count
