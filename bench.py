@@ -336,77 +336,134 @@ def _bench_config4_streaming(dimension: int):
 
 
 def _bench_clerk_host():
-    """End-to-end clerk hot loop including the host protocol plane.
+    """End-to-end clerk hot loop through the REAL production path.
 
-    The reference clerk's job is decrypt x P -> combine -> re-encrypt
-    (clerk.rs:63-107); the device kernels only cover the middle. This
-    measures a whole clerking job at config-2 scale: P sealed boxes of
-    nb varint-encoded shares opened (threaded — ctypes releases the GIL),
-    combined on the accelerator, and the result sealed for the recipient.
+    Builds a genuine aggregation on the in-process service (recipient +
+    8-clerk committee + P participants, each participation carried through
+    ``SdaClient.participate``), snapshots it server-side, then times
+    ``SdaClient.process_clerking_job`` on one clerk's job — the full
+    clerk.rs:63-107 sequence: fetch + verify keys, open P sealed boxes,
+    combine, re-encrypt under the recipient key. Timed variants:
+
+    - bulk route (``device_bulk_threshold`` set, job below
+      DEVICE_COMBINE_CROSSOVER): ONE fused native open+decode+combine call
+      (native/sealed_batch.cpp) — the production serving path;
+    - reference-parity route (no threshold): sequential python open +
+      signed fold, the exact clerk.rs loop.
+
+    The open split (native batch vs sequential python) is measured
+    separately on the same job so the report shows where the time goes.
     """
-    from sda_tpu import sodium
-    from sda_tpu.engine import device_combine
-    from sda_tpu.fields import find_prime_field
-    from sda_tpu.utils.varint import decode_varints, encode_varints
-
-    p, _, _ = find_prime_field(62, 8, 9)
-    P, nb = 1000, 334  # 10 config-2 jobs' worth of participations
-    rng = np.random.default_rng(0)
-    ek, dk = sodium.box_keypair()
-    rk, _rkd = sodium.box_keypair()
-    boxes = [
-        sodium.seal(
-            encode_varints(rng.integers(0, 1 << 62, size=nb, dtype=np.int64)), ek
-        )
-        for _ in range(P)
-    ]
-
-    from concurrent.futures import ThreadPoolExecutor
     import os
 
-    def open_all(threaded: bool):
-        if not threaded:
-            return [decode_varints(sodium.seal_open(b, ek, dk)) for b in boxes]
-        with ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 4)) as ex:
-            return list(
-                ex.map(
-                    lambda b: decode_varints(sodium.seal_open(b, ek, dk)),
-                    boxes,
-                    chunksize=32,
-                )
-            )
+    from sda_tpu import protocol as proto
+    from sda_tpu import sodium
+    from sda_tpu.client import Keystore, MemoryStore, SdaClient, new_agent
+    from sda_tpu.fields import find_special_prime_field
+    from sda_tpu.server import new_memory_server
+    from sda_tpu.utils.varint import decode_varints
 
-    device_combine(p, open_all(threaded=False), chunk_size=256)  # warm jit
-    t0 = time.perf_counter()
-    vecs = open_all(threaded=False)
-    t_seq = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    vecs = open_all(threaded=True)
-    t_thr = time.perf_counter() - t0
-    t_host = min(t_seq, t_thr)  # decrypt_many picks the winner per host
-    t0 = time.perf_counter()
-    combined = device_combine(p, vecs, chunk_size=256)
-    t_dev = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sodium.seal(encode_varints((combined % (1 << 62)).astype(np.int64)), rk)
-    t_seal = time.perf_counter() - t0
-    total = t_host + t_dev + t_seal
-    import os as _os
+    p, w2, w3 = find_special_prime_field(63, 8, 9)  # production 63-bit prime
+    P, dim = 1000, 1000  # 10 config-2 jobs' worth of participations
+    nb = -(-dim // 3)
+
+    service = new_memory_server()
+
+    def mk_client():
+        ks = Keystore(MemoryStore())
+        return SdaClient(new_agent(ks), ks, service)
+
+    recipient = mk_client()
+    rkey = recipient.new_encryption_key()
+    recipient.upload_agent()
+    recipient.upload_encryption_key(rkey)
+    agg = proto.Aggregation(
+        id=proto.new_id(),
+        title="clerk-bench",
+        vector_dimension=dim,
+        modulus=p,
+        recipient=recipient.agent.id,
+        recipient_key=rkey,
+        masking_scheme=proto.NoMasking(),
+        committee_sharing_scheme=proto.PackedShamirSharing(
+            secret_count=3, share_count=8, privacy_threshold=4,
+            prime_modulus=p, omega_secrets=w2, omega_shares=w3,
+        ),
+    )
+    recipient.upload_aggregation(agg)
+    clerks = [mk_client() for _ in range(8)]
+    for c in clerks:
+        key = c.new_encryption_key()
+        c.upload_agent()
+        c.upload_encryption_key(key)
+    recipient.begin_aggregation(agg.id)
+    rng = np.random.default_rng(0)
+    participant = mk_client()
+    participant.upload_agent()
+    for _ in range(P):
+        participant.participate(
+            rng.integers(0, 1 << 62, size=dim, dtype=np.int64) % p, agg.id
+        )
+    recipient.end_aggregation(agg.id)
+
+    clerk = next(
+        c for c in clerks
+        if c.service.get_clerking_job(c.agent, c.agent.id) is not None
+    )
+    job = clerk.service.get_clerking_job(clerk.agent, clerk.agent.id)
+    assert len(job.encryptions) == P
+
+    def timed(fn, iters):
+        best = float("inf")
+        out = None
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    # production bulk route: fused native open+combine
+    clerk.device_bulk_threshold = 1
+    t_fused, res_fused = timed(lambda: clerk.process_clerking_job(job), 4)
+    # reference-parity route: sequential open + signed fold (clerk.rs:78-86)
+    clerk.device_bulk_threshold = None
+    t_seq, res_seq = timed(lambda: clerk.process_clerking_job(job), 2)
+
+    # open-only split on the same job (native batch vs python loop)
+    committee = clerk.service.get_committee(clerk.agent, job.aggregation)
+    own_key = next(k for cid, k in committee.clerks_and_keys if cid == clerk.agent.id)
+    dec = clerk.crypto.new_share_decryptor(own_key, agg.committee_encryption_scheme)
+    t_native_open, _ = timed(lambda: dec.decrypt_many(job.encryptions), 3)
+    t_py_open, _ = timed(lambda: [dec.decrypt(e) for e in job.encryptions], 2)
+    t_fused_only, fused_vec = timed(
+        lambda: dec.open_combine(job.encryptions, p, nb), 3
+    )
+
+    # sanity: both routes' results decrypt congruently at the recipient
+    rpair = recipient.crypto.keystore.get_encryption_keypair(rkey)
+    a = np.asarray(decode_varints(sodium.seal_open(res_fused.encryption.data, *rpair)))
+    b = np.asarray(decode_varints(sodium.seal_open(res_seq.encryption.data, *rpair)))
+    assert ((a - b) % p == 0).all(), "bulk and sequential clerk results diverge"
 
     print(
         f"# clerk host plane ({P} participations x {nb} shares, "
-        f"{_os.cpu_count()} host cores): "
-        f"{total*1e3:.1f} ms/job = open {t_host*1e3:.1f} ms "
-        f"(threaded {t_thr*1e3:.1f} / sequential {t_seq*1e3:.1f}) "
-        f"+ combine {t_dev*1e3:.1f} ms "
-        f"(device incl transfers) + re-encrypt {t_seal*1e3:.2f} ms "
-        f"-> {P/total:.0f} participations/s, {1/total:.1f} jobs/s",
+        f"{os.cpu_count()} host cores, REAL process_clerking_job): "
+        f"bulk {t_fused*1e3:.1f} ms/job (fused native open+combine "
+        f"{t_fused_only*1e3:.1f} ms) vs sequential {t_seq*1e3:.1f} ms/job; "
+        f"open-only: native batch {t_native_open*1e3:.1f} ms / python "
+        f"{t_py_open*1e3:.1f} ms -> {P/t_fused:.0f} participations/s, "
+        f"{1/t_fused:.1f} jobs/s",
         file=sys.stderr,
     )
     return {
-        "participations_s": round(P / total, 1),
-        "open_speedup_threaded": round(t_seq / t_thr, 2),
-        "host_fraction": round((t_host + t_seal) / total, 3),
+        "participations_s": round(P / t_fused, 1),
+        "sequential_participations_s": round(P / t_seq, 1),
+        "speedup_vs_sequential": round(t_seq / t_fused, 2),
+        "open_native_ms": round(t_native_open * 1e3, 2),
+        "open_python_ms": round(t_py_open * 1e3, 2),
+        "open_speedup_native": round(t_py_open / t_native_open, 2),
+        "fused_open_combine_ms": round(t_fused_only * 1e3, 2),
+        "combine_route": "fused_native",
     }
 
 

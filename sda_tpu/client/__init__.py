@@ -27,6 +27,36 @@ from sda_tpu.utils.errors import Invalid
 
 __all__ = ["SdaClient", "RecipientOutput", "new_agent", "Filebased", "MemoryStore", "Keystore"]
 
+# Clerk-combine routing crossover, in total share elements per job
+# (participants x per-clerk vector length). Below it the fused native
+# open+combine (one C++ call, shares never materialised) wins; above it the
+# per-chunk transfer cost of the device path amortises and HBM bandwidth
+# beats the host cores. Measured on the 2-core axon host + v5e
+# (tools/measure_combine_crossover.py, r4): host fused sustains ~45M
+# elements/s of combine while device_combine's staging overhead only drops
+# below that past ~2e7 elements; pinned by test_clerk_routing.py.
+DEVICE_COMBINE_CROSSOVER = 20_000_000
+
+
+def _streamed_decrypt(decryptor, encryptions, chunk: int = 256):
+    """Yield decrypted share vectors chunk-by-chunk with one-chunk lookahead:
+    while :func:`sda_tpu.engine.device_combine` accumulates chunk *i* on the
+    accelerator, the native batch opener is already working on chunk *i+1*
+    on the host cores — so a huge clerking job never materialises more than
+    two chunks of plaintext shares (the streaming answer to clerk.rs:71-72).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    encryptions = list(encryptions)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = ex.submit(decryptor.decrypt_many, encryptions[:chunk])
+        for start in range(0, len(encryptions), chunk):
+            got = pending.result()
+            nxt = encryptions[start + chunk : start + 2 * chunk]
+            if nxt:
+                pending = ex.submit(decryptor.decrypt_many, nxt)
+            yield from got
+
 
 @dataclass
 class RecipientOutput:
@@ -255,19 +285,42 @@ class SdaClient:
         decryptor = self.crypto.new_share_decryptor(
             own_key_id, aggregation.committee_encryption_scheme
         )
-        share_vectors = decryptor.decrypt_many(job.encryptions)
 
-        total_elements = sum(len(v) for v in share_vectors)
+        # Size-aware combine routing (the streaming answer to the clerk
+        # FIXME at clerk.rs:71-72). Per-clerk share-vector length is fixed
+        # by the scheme (batched.rs: ceil(d / input_size) batches), so the
+        # job size is known before any box is opened:
+        #  - bulk jobs below DEVICE_COMBINE_CROSSOVER elements: ONE fused
+        #    native call opens + decodes + accumulates without ever
+        #    materialising the share matrix (ShareDecryptor.open_combine);
+        #  - above the crossover: device accumulate (device_combine), where
+        #    HBM bandwidth beats the host's 2 cores;
+        #  - no threshold configured (or >=2^63 modulus, or no native lib):
+        #    the reference's sequential decrypt-then-signed-fold,
+        #    bit-for-bit (clerk.rs:78-86).
+        share_len = -(-aggregation.vector_dimension
+                      // aggregation.committee_sharing_scheme.input_size)
+        est_elements = len(job.encryptions) * share_len
+        combined = None
         if (
             self.device_bulk_threshold is not None
-            and total_elements >= self.device_bulk_threshold
-            and share_vectors
+            and est_elements >= self.device_bulk_threshold
+            and job.encryptions
             and aggregation.modulus < (1 << 63)
         ):
-            from sda_tpu.engine import device_combine
+            if est_elements >= DEVICE_COMBINE_CROSSOVER:
+                from sda_tpu.engine import device_combine
 
-            combined = device_combine(aggregation.modulus, share_vectors)
-        else:
+                combined = device_combine(
+                    aggregation.modulus,
+                    _streamed_decrypt(decryptor, job.encryptions),
+                )
+            else:
+                combined = decryptor.open_combine(
+                    job.encryptions, aggregation.modulus, share_len
+                )
+        if combined is None:
+            share_vectors = decryptor.decrypt_many(job.encryptions)
             combiner = self.crypto.new_share_combiner(aggregation.committee_sharing_scheme)
             combined = combiner.combine(share_vectors)
 

@@ -70,6 +70,72 @@ class ShareDecryptor:
         raw = sodium.seal_open(encryption.data, self._ek, self._dk)
         return decode_varints(raw)
 
+    def open_combine(
+        self, encryptions, modulus: int, dim: int, workers: int | None = None
+    ):
+        """Fused clerk combine: open + decode + modular-accumulate in ONE
+        native call, never materialising the decoded share matrix
+        (native/sealed_batch.cpp — the streaming answer to clerk.rs:71-72).
+
+        Returns the combined vector with canonical ``[0, p)`` representatives
+        (protocol-equivalent to the reference's signed fold, same convention
+        as :func:`sda_tpu.engine.device_combine`), or ``None`` when the
+        native library is unavailable (caller falls back to
+        ``decrypt_many`` + ``combine``). ``dim`` is the per-clerk share
+        count every box must decode to; a mismatch raises ``Invalid`` like
+        the sequential combine's dimension check, a tampered box raises
+        ``Invalid`` like ``decrypt`` and a malformed varint stream raises
+        ``ValueError`` like ``decode_varints``.
+        """
+        import ctypes
+        import os
+
+        from sda_tpu.utils.varint import _NATIVE
+
+        if (
+            _NATIVE is None
+            or not hasattr(_NATIVE, "sda_sealed_open_combine")
+            or not (0 < modulus < (1 << 63))
+        ):
+            return None
+        if not getattr(ShareDecryptor, "_combine_typed", False):
+            _NATIVE.sda_sealed_open_combine.restype = ctypes.c_int
+            _NATIVE.sda_sealed_open_combine.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_size_t),
+                ctypes.c_size_t, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_size_t, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_size_t),
+            ]
+            ShareDecryptor._combine_typed = True
+        datas = [e.data for e in encryptions]
+        if not datas:
+            return np.zeros(0, dtype=np.int64)
+        offs = np.zeros(len(datas) + 1, dtype=np.uintp)
+        offs[1:] = np.cumsum([len(d) for d in datas], dtype=np.uint64)
+        blob = np.frombuffer(b"".join(datas), dtype=np.uint8)
+        combined = np.empty(dim, dtype=np.int64)
+        fail = ctypes.c_size_t(0)
+        rc = _NATIVE.sda_sealed_open_combine(
+            blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+            len(datas), self._ek, self._dk,
+            ctypes.c_uint64(modulus),
+            combined.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dim,
+            workers or min(32, os.cpu_count() or 1),
+            ctypes.byref(fail),
+        )
+        if rc == 0:
+            return combined
+        if rc == -1:
+            return None  # libsodium not resolvable: fall back
+        if rc == -2:
+            raise Invalid("sodium seal_open failure (tampered or wrong key)")
+        if rc == -3:
+            raise ValueError("malformed varint stream")
+        raise Invalid("Wrong dimension")
+
     def decrypt_many(self, encryptions, workers: int | None = None) -> list:
         """Parallel bulk decryption of a clerking job's share vectors.
 
@@ -102,7 +168,13 @@ class ShareDecryptor:
 
 def _native_open_batch(encryptions, ek: bytes, dk: bytes, workers):
     """Whole-job sealed-box open via native/sealed_batch.cpp, or ``None``
-    when the native library (or its libsodium) is unavailable."""
+    when the native library (or its libsodium) is unavailable.
+
+    Decoded values land in ONE flat buffer at per-box offsets derived from
+    each box's plaintext size (a plaintext byte yields at most one varint),
+    so the allocation is bounded by 8x the job's wire size and a single
+    oversized box cannot inflate every row.
+    """
     import ctypes
     import os
 
@@ -115,7 +187,7 @@ def _native_open_batch(encryptions, ek: bytes, dk: bytes, workers):
         _NATIVE.sda_sealed_open_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_size_t),
             ctypes.c_size_t, ctypes.c_char_p, ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
         ]
         _native_open_batch._typed = True
@@ -123,29 +195,38 @@ def _native_open_batch(encryptions, ek: bytes, dk: bytes, workers):
     offs = np.zeros(len(datas) + 1, dtype=np.uintp)
     offs[1:] = np.cumsum([len(d) for d in datas], dtype=np.uint64)
     blob = np.frombuffer(b"".join(datas), dtype=np.uint8)
-    # each plaintext byte yields at most one varint value; sizing rows by
-    # the largest box bounds every decode
-    max_vals = max(int(offs[i + 1] - offs[i]) for i in range(len(datas)))
-    out = np.empty((len(datas), max_vals), dtype=np.int64)
+    # per-box output capacity = plaintext bytes (box minus the 48-byte seal)
+    out_offs = np.zeros(len(datas) + 1, dtype=np.uintp)
+    out_offs[1:] = np.cumsum(
+        [max(len(d) - _SEAL_BYTES, 0) for d in datas], dtype=np.uint64
+    )
+    out = np.empty(int(out_offs[-1]), dtype=np.int64)
     lens = np.empty(len(datas), dtype=np.uintp)
     rc = _NATIVE.sda_sealed_open_batch(
         blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
         len(datas), ek, dk,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        max_vals,
+        out_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
         workers or min(32, os.cpu_count() or 1),
     )
     if rc != 0:
         return None
-    bad = np.uintp((1 << 64) - 1)  # SIZE_MAX sentinel from the native side
+    open_failed = np.uintp((1 << 64) - 1)  # SIZE_MAX
+    decode_failed = np.uintp((1 << 64) - 2)  # SIZE_MAX - 1
     result = []
     for i in range(len(datas)):
-        if lens[i] == bad:
+        if lens[i] == open_failed:
             raise Invalid("sodium seal_open failure (tampered or wrong key)")
-        result.append(out[i, : int(lens[i])].copy())
+        if lens[i] == decode_failed:
+            raise ValueError("malformed varint stream")
+        start = int(out_offs[i])
+        result.append(out[start : start + int(lens[i])].copy())
     return result
+
+
+_SEAL_BYTES = 48  # crypto_box_SEALBYTES
 
 
 class CryptoModule:

@@ -35,6 +35,8 @@ _urandom = os.urandom
 
 __all__ = [
     "trunc_mod",
+    "trunc_add_mod",
+    "trunc_sub_mod",
     "positive",
     "PrimeField",
     "find_prime_field",
@@ -58,6 +60,44 @@ def trunc_mod(a, m):
         vec = np.vectorize(lambda x: (abs(x) % m) if x >= 0 else -(abs(x) % m), otypes=[object])
         return vec(a)
     return np.fmod(a, m)
+
+
+def trunc_add_mod(a, b, m: int) -> np.ndarray:
+    """Exact ``trunc_mod(a + b, m)`` without int64 overflow.
+
+    Precondition: ``|a|, |b| < m < 2**63`` element-wise (the canonical
+    trunc-domain every protocol value lives in). A plain int64
+    ``trunc_mod(a + b, m)`` wraps once ``a + b`` crosses ``2**63`` — which
+    production primes like ``p = 2**63 - 871`` reach on the very first
+    mask fold — so the fold is split by operand sign:
+
+    - both ``>= 0``: sum fits uint64 (< 2m < 2**64); one conditional subtract.
+    - mixed signs: ``a + b`` is in ``(-m, m)`` and fits int64 exactly.
+    - both ``< 0``: ``w = (a + m) + b`` is in ``(-m, m]``; the truncated
+      remainder is ``w`` when ``w <= 0`` else ``w - m``.
+
+    Unused lanes of each branch may wrap silently; ``np.where`` discards them.
+    """
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    m64 = np.int64(m)
+    m_u = np.uint64(m)
+    a_neg = a < 0
+    b_neg = b < 0
+    s_u = a.astype(np.uint64) + b.astype(np.uint64)
+    both_pos = np.where(s_u >= m_u, s_u - m_u, s_u).astype(np.int64)
+    mixed = a + b
+    w = (a + m64) + b
+    both_neg = np.where(w <= 0, w, w - m64)
+    return np.where(
+        a_neg & b_neg, both_neg, np.where(a_neg ^ b_neg, mixed, both_pos)
+    )
+
+
+def trunc_sub_mod(a, b, m: int) -> np.ndarray:
+    """Exact ``trunc_mod(a - b, m)`` without int64 overflow (see
+    :func:`trunc_add_mod`; precondition ``|a|, |b| < m < 2**63``)."""
+    return trunc_add_mod(a, -np.asarray(b, dtype=np.int64), m)
 
 
 def positive(values, modulus):

@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from sda_tpu import chacha
-from sda_tpu.fields import PrimeField, trunc_mod
+from sda_tpu.fields import PrimeField, trunc_add_mod, trunc_mod, trunc_sub_mod
 from sda_tpu.utils.errors import Invalid
 
 __all__ = ["NoneMasker", "FullMasker", "ChaChaMasker", "masker_for_scheme"]
@@ -49,10 +49,20 @@ class FullMasker:
         self.modulus = modulus
         self._field = PrimeField(modulus)
 
+    # folds are exact in int64 via trunc_add_mod for any p < 2**63; only
+    # genuinely >63-bit moduli pay for python-int (object) arithmetic.
+    @property
+    def _i64_ok(self) -> bool:
+        return self.modulus < (1 << 63)
+
     def mask(self, secrets):
         secrets = np.asarray(secrets)
         masks = self._field.sample(secrets.shape)
-        masked = trunc_mod(secrets + masks, self.modulus)  # full.rs:30-33
+        if self._i64_ok:
+            masks = np.asarray(masks, dtype=np.int64)
+            masked = trunc_add_mod(secrets, masks, self.modulus)  # full.rs:30-33
+        else:
+            masked = trunc_mod(secrets + masks, self.modulus)
         return masks, masked
 
     def combine(self, masks):
@@ -60,18 +70,31 @@ class FullMasker:
         if not masks:
             return np.zeros(0, dtype=np.int64)
         d = len(masks[0])
-        acc = np.zeros(d, dtype=self._field.dtype)
+        if self._i64_ok:
+            acc = np.zeros(d, dtype=np.int64)
+            for m in masks:
+                if len(m) != d:
+                    raise Invalid("mask dimension mismatch")
+                acc = trunc_add_mod(acc, np.asarray(m, dtype=np.int64), self.modulus)
+            return acc
+        acc = np.zeros(d, dtype=object)
         for m in masks:
             if len(m) != d:
                 raise Invalid("mask dimension mismatch")
-            acc = trunc_mod(acc + np.asarray(m, dtype=acc.dtype), self.modulus)
+            acc = trunc_mod(acc + np.asarray(m, dtype=object), self.modulus)
         return acc
 
     def unmask(self, mask_and_masked):
         mask, masked = mask_and_masked
         if len(mask) != len(masked):
             raise Invalid("mask/masked dimension mismatch")
-        return trunc_mod(np.asarray(masked) - np.asarray(mask), self.modulus)  # full.rs:62
+        if self._i64_ok:
+            return trunc_sub_mod(
+                np.asarray(masked, dtype=np.int64),
+                np.asarray(mask, dtype=np.int64),
+                self.modulus,
+            )  # full.rs:62
+        return trunc_mod(np.asarray(masked) - np.asarray(mask), self.modulus)
 
 
 class ChaChaMasker:
@@ -102,7 +125,9 @@ class ChaChaMasker:
             raise Invalid("input dimension does not match masking scheme")
         seed_words = chacha.new_seed(self.seed_bitsize)
         mask = chacha.expand_masks([seed_words], self.dimension, self.modulus)[0]
-        masked = trunc_mod(secrets + mask, self.modulus)
+        # overflow-safe even at 63-bit production primes (masks are
+        # uniform in [0, p), so a plain int64 add can cross 2**63)
+        masked = trunc_add_mod(secrets, np.asarray(mask, dtype=np.int64), self.modulus)
         # the uploaded "mask" is the seed, widened to i64 words (chacha.rs:48-52)
         return np.array(seed_words, dtype=np.int64), masked
 
@@ -127,14 +152,20 @@ class ChaChaMasker:
         masks = chacha.expand_masks(word_lists, self.dimension, self.modulus)
         acc = np.zeros(self.dimension, dtype=np.int64)
         for row in masks:
-            acc = trunc_mod(acc + row, self.modulus)
+            # rows are uniform in [0, p): overflow-safe fold required at
+            # 63-bit production primes
+            acc = trunc_add_mod(acc, np.asarray(row, dtype=np.int64), self.modulus)
         return acc
 
     def unmask(self, mask_and_masked):
         mask, masked = mask_and_masked
         if len(mask) != len(masked):
             raise Invalid("mask/masked dimension mismatch")
-        return trunc_mod(np.asarray(masked) - np.asarray(mask), self.modulus)
+        return trunc_sub_mod(
+            np.asarray(masked, dtype=np.int64),
+            np.asarray(mask, dtype=np.int64),
+            self.modulus,
+        )
 
 
 def masker_for_scheme(scheme, device_bulk_threshold: int | None = None):

@@ -44,11 +44,39 @@ from functools import cached_property
 
 import numpy as np
 
-from sda_tpu.fields import PrimeField, trunc_mod
+from sda_tpu.fields import PrimeField, trunc_add_mod, trunc_mod
 from sda_tpu.ntt import intt_matrix, ntt_matrix
 from sda_tpu.utils.errors import Invalid
 
 __all__ = ["AdditiveScheme", "PackedShamirScheme", "DeviceSchemeSpec"]
+
+
+def _combine_fold(share_vectors, modulus: int) -> np.ndarray:
+    """Clerk-side combine: sequential signed fold of combiner.rs:20-27.
+
+    The wire-level representative matches the reference bit-for-bit.
+    Exact in int64 for any ``modulus < 2**63`` via
+    :func:`sda_tpu.fields.trunc_add_mod` (a plain int64 fold wraps at
+    63-bit production primes); >63-bit moduli fall back to python-int
+    (object) arithmetic.
+    """
+    share_vectors = list(share_vectors)
+    if not share_vectors:
+        return np.zeros(0, dtype=np.int64)
+    d = len(share_vectors[0])
+    if modulus < (1 << 63):
+        acc = np.zeros(d, dtype=np.int64)
+        for sv in share_vectors:
+            if len(sv) != d:
+                raise Invalid("Wrong dimension")
+            acc = trunc_add_mod(acc, np.asarray(sv, dtype=np.int64), modulus)
+        return acc
+    acc = np.zeros(d, dtype=object)
+    for sv in share_vectors:
+        if len(sv) != d:
+            raise Invalid("Wrong dimension")
+        acc = trunc_mod(acc + np.asarray(sv, dtype=object), modulus)
+    return acc
 
 
 @dataclass(frozen=True)
@@ -127,16 +155,7 @@ class AdditiveScheme:
         Reproduces the sequential signed fold of combiner.rs:20-27 so the
         wire-level representative matches the reference bit-for-bit.
         """
-        share_vectors = list(share_vectors)
-        if not share_vectors:
-            return np.zeros(0, dtype=np.int64)
-        d = len(share_vectors[0])
-        acc = np.zeros(d, dtype=PrimeField(self.modulus).dtype)
-        for sv in share_vectors:
-            if len(sv) != d:
-                raise Invalid("Wrong dimension")
-            acc = trunc_mod(acc + np.asarray(sv, dtype=acc.dtype), self.modulus)
-        return acc
+        return _combine_fold(share_vectors, self.modulus)
 
     def reconstruct(self, indexed_shares, dimension: int | None = None) -> np.ndarray:
         """Recipient-side reconstruction: modular sum over clerk vectors.
@@ -327,16 +346,7 @@ class PackedShamirScheme:
 
     def combine(self, share_vectors) -> np.ndarray:
         """Clerk-side combine (same modular sum as additive; combiner.rs)."""
-        share_vectors = list(share_vectors)
-        if not share_vectors:
-            return np.zeros(0, dtype=np.int64)
-        d = len(share_vectors[0])
-        acc = np.zeros(d, dtype=self.field.dtype)
-        for sv in share_vectors:
-            if len(sv) != d:
-                raise Invalid("Wrong dimension")
-            acc = trunc_mod(acc + np.asarray(sv, dtype=acc.dtype), self.prime_modulus)
-        return acc
+        return _combine_fold(share_vectors, self.prime_modulus)
 
     def reconstruct(self, indexed_shares, dimension: int) -> np.ndarray:
         """Recipient-side reconstruction from per-clerk vectors.

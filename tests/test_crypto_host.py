@@ -186,3 +186,82 @@ def test_decrypt_many_matches_sequential_and_raises_on_tamper():
     evil[4] = proto.Encryption(data=data[:-1] + bytes([data[-1] ^ 1]))
     with pytest.raises(Invalid):
         d.decrypt_many(evil)
+
+
+def test_open_combine_fused_matches_sequential_fold():
+    """Fused native open+combine (native/sealed_batch.cpp) is congruent to
+    the sequential decrypt-then-signed-fold (clerk.rs:78-86) — canonical
+    [0, p) representatives, same convention as engine.device_combine."""
+    from sda_tpu import sodium
+    from sda_tpu import protocol as proto
+    from sda_tpu.client.crypto import ShareDecryptor
+    from sda_tpu.fields import positive
+    from sda_tpu.sharing import AdditiveScheme
+    from sda_tpu.utils.varint import encode_varints
+
+    p = (1 << 63) - 871  # overflow territory for a naive fold
+    ek, dk = sodium.box_keypair()
+    rng = np.random.default_rng(3)
+    d = 47
+    vecs = [
+        (rng.integers(0, 1 << 62, size=d, dtype=np.int64) % p) for _ in range(25)
+    ]
+    # mix in trunc-domain negatives like real wire shares
+    vecs[3] = -vecs[3]
+    encs = [proto.Encryption(data=sodium.seal(encode_varints(v), ek)) for v in vecs]
+    dec = ShareDecryptor(ek, dk)
+    got = dec.open_combine(encs, p, d)
+    if got is None:
+        pytest.skip("native library unavailable")
+    want = positive(AdditiveScheme(share_count=3, modulus=p).combine(vecs), p)
+    assert got.tolist() == [int(x) for x in want]
+    assert (got >= 0).all() and (got < p).all()
+
+
+def test_open_combine_error_parity():
+    from sda_tpu import sodium
+    from sda_tpu import protocol as proto
+    from sda_tpu.client.crypto import ShareDecryptor
+    from sda_tpu.utils.varint import encode_varints
+
+    p = 10_007
+    ek, dk = sodium.box_keypair()
+    vecs = [np.arange(8, dtype=np.int64) for _ in range(6)]
+    encs = [proto.Encryption(data=sodium.seal(encode_varints(v), ek)) for v in vecs]
+    dec = ShareDecryptor(ek, dk)
+    if dec.open_combine(encs, p, 8) is None:
+        pytest.skip("native library unavailable")
+    # tampered box -> Invalid, same message as the sequential seal_open path
+    evil = list(encs)
+    evil[2] = proto.Encryption(data=encs[2].data[:-1] + bytes([encs[2].data[-1] ^ 1]))
+    with pytest.raises(Invalid, match="seal_open failure"):
+        dec.open_combine(evil, p, 8)
+    # malformed varint stream -> ValueError like decode_varints
+    trunc = list(encs)
+    trunc[1] = proto.Encryption(data=sodium.seal(b"\x80\x80", ek))
+    with pytest.raises(ValueError, match="malformed varint"):
+        dec.open_combine(trunc, p, 8)
+    # wrong per-clerk share count -> Invalid like the combine dimension check
+    short = list(encs)
+    short[4] = proto.Encryption(
+        data=sodium.seal(encode_varints(np.arange(5, dtype=np.int64)), ek)
+    )
+    with pytest.raises(Invalid, match="dimension|Wrong"):
+        dec.open_combine(short, p, 8)
+
+
+def test_decrypt_many_error_parity_malformed_varint():
+    """A well-sealed box holding a malformed varint stream raises ValueError
+    from the native batch exactly like the sequential decode_varints."""
+    from sda_tpu import sodium
+    from sda_tpu import protocol as proto
+    from sda_tpu.client.crypto import ShareDecryptor
+    from sda_tpu.utils.varint import encode_varints
+
+    ek, dk = sodium.box_keypair()
+    vecs = [np.arange(4, dtype=np.int64) for _ in range(9)]
+    encs = [proto.Encryption(data=sodium.seal(encode_varints(v), ek)) for v in vecs]
+    encs[5] = proto.Encryption(data=sodium.seal(b"\xff\xff\xff", ek))  # truncated
+    dec = ShareDecryptor(ek, dk)
+    with pytest.raises(ValueError, match="malformed varint"):
+        dec.decrypt_many(encs)
