@@ -242,7 +242,14 @@ def _bench_config2():
 
 
 def _bench_config3():
-    """128-bit modulus: 16-byte limbs, 1,024 participants in 2 passes."""
+    """128-bit modulus: 16-byte limbs, 1,024 participants, ONE launch.
+
+    Each 512-participant chunk saturates the int32 accumulator bound;
+    the (lane_blocks, 2)-grid reduction kernel accumulates both chunks in
+    VMEM and reconstructs fused. (r3 ran this as 4 launches — 2 combine +
+    1 add + 1 reconstruct — and inter-launch gaps + the extra per-clerk
+    HBM round-trips held it to 0.61 of SoL.)
+    """
     import jax
     import jax.numpy as jnp
 
@@ -257,28 +264,37 @@ def _bench_config3():
     lanes = 512
     nbp = -(-engine.nb // lanes) * lanes
     rows = p_chunk * k * mxu8.L8
-    pool = [
-        _make_planar_secrets(engine, jax.random.key(i), rows, nbp)
-        for i in range(2)
-    ]
+    total = p_chunk * n_chunks
+    sec8_all = jnp.concatenate(
+        [
+            _make_planar_secrets(engine, jax.random.key(i), rows, nbp)
+            for i in range(n_chunks)
+        ],
+        axis=0,
+    )
+    sec8_all.block_until_ready()
+
+    out = engine.aggregate_mxu8_kernel_chunked(
+        sec8_all, n_chunks, p_chunk, seed=1, lanes=lanes
+    )
+    _reveal_check_slice(engine, sec8_all, out, total, width=lanes)
 
     def step(i):
-        make = lambda j: pool[j % len(pool)]  # noqa: E731
-        return engine.aggregate_mxu8_kernel_streaming(
-            [make] * n_chunks, p_chunk, seed0=1 + i * n_chunks, lanes=lanes
+        return engine.aggregate_mxu8_kernel_chunked(
+            sec8_all, n_chunks, p_chunk, seed=1 + i, lanes=lanes
         )
 
     dt, _ = _timeit(step, iters=5)
-    total = p_chunk * n_chunks
-    per = _mxu8_model(engine, p_chunk, nbp, pool[0].size,
-                      engine.ctx.L * n * nbp * 4, recon=False)
+    per = _mxu8_model(engine, p_chunk, nbp, sec8_all.size // n_chunks, 0,
+                      recon=True)
     agg = {key: v * n_chunks for key, v in per.items()}
+    agg["hbm_bytes"] += engine.ctx.L * k * nbp * 4  # one fused-stage-2 output
     rep = roofline(dt, **agg)
     gfops = _fieldops(engine, total) / dt / 1e9
     print(
-        f"# config 3 (10k-dim, 128-bit modulus, {total} participants): "
-        f"{dt*1e3:.2f} ms/step, {total/dt:.0f} aggregations/s, "
-        f"{gfops:.2f} Gfield-ops/s",
+        f"# config 3 (10k-dim, 128-bit modulus, {total} participants, "
+        f"one chunked launch): {dt*1e3:.2f} ms/step, "
+        f"{total/dt:.0f} aggregations/s, {gfops:.2f} Gfield-ops/s",
         file=sys.stderr,
     )
     print(f"# config 3 roofline: {json.dumps(rep)}", file=sys.stderr)
@@ -467,6 +483,52 @@ def _bench_clerk_host():
     }
 
 
+def _bench_fullmask_reveal():
+    """Reveal-side Full-mask combine (full.rs:38-52, driven from
+    receive.rs:102-118): sum P participants' full-length masks mod p.
+
+    Config-4-shaped but scaled (the full 10k x 1M is 80 GB of mask wire
+    data): P x d streamed from host through the device limb accumulator
+    (FullMasker.combine past the bulk threshold) vs the overflow-safe host
+    fold. Device-route output is bit-identical to the host fold (masks are
+    canonical), asserted on a slice.
+    """
+    from sda_tpu.fields import find_special_prime_field
+    from sda_tpu.masking import FullMasker
+
+    p, _, _ = find_special_prime_field(63, 8, 9)
+    P, d = 1024, 100_002
+    rng = np.random.default_rng(4)
+    masks = [
+        (rng.integers(0, 1 << 62, size=d, dtype=np.int64) % p) for _ in range(P)
+    ]
+    host_m = FullMasker(p)
+    dev_m = FullMasker(p, device_bulk_threshold=1)
+    # parity on a slice before timing
+    sl = [m[:256] for m in masks[:64]]
+    assert FullMasker(p, device_bulk_threshold=1).combine(sl).tolist() == \
+        FullMasker(p).combine(sl).tolist()
+
+    t0 = time.perf_counter()
+    dev = dev_m.combine(masks)
+    t_dev = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    host = host_m.combine(masks[:128])
+    t_host = (time.perf_counter() - t0) * (P / 128)
+    print(
+        f"# fullmask reveal combine ({P} x {d}, 63-bit prime): device "
+        f"{t_dev*1e3:.0f} ms (incl host->device streaming) vs host fold "
+        f"{t_host*1e3:.0f} ms (extrapolated from 128) -> "
+        f"{P/t_dev:.0f} mask-vectors/s device, speedup {t_host/t_dev:.1f}x",
+        file=sys.stderr,
+    )
+    return {
+        "mask_vectors_s_device": round(P / t_dev, 1),
+        "host_fold_extrapolated_s": round(t_host, 3),
+        "speedup_vs_host": round(t_host / t_dev, 2),
+    }
+
+
 def _bench_host_baseline(dimension: int, participants: int):
     """Host numpy protocol path on a slice, extrapolated to the full size."""
     from sda_tpu.fields import find_prime_field
@@ -508,6 +570,7 @@ def main():
     rep3, gfops3 = _bench_config3()
     rep4, rate4 = _bench_config4_streaming(dimension)
     clerk = _bench_clerk_host()
+    fullmask = _bench_fullmask_reveal()
     host_dt = _bench_host_baseline(dimension, participants)
     print(f"# host-numpy baseline (extrapolated): {host_dt:.1f} s/step", file=sys.stderr)
     print(
@@ -540,6 +603,7 @@ def main():
                         "aggs_s": round(rate4, 1),
                     },
                     "clerk_host_plane": clerk,
+                    "fullmask_reveal": fullmask,
                 },
             }
         )

@@ -432,14 +432,19 @@ class TpuAggregationEngine:
                 """Config-4 scale on the byte-limb kernel: ``chunks`` yield
                 ``[P_chunk*k*L8, NBP]`` planar tensors (or callables
                 ``f(i)``); canonical per-clerk sums accumulate mod p.
-                Per-chunk PRNG seeds follow a linear schedule (benchmark
-                decorrelation — host-CSPRNG ext layouts are the protocol
-                path)."""
+                Per-chunk PRNG seed stride is the lane-block grid size, so
+                chunk i block t and chunk j block u never share a seed
+                (benchmark decorrelation — host-CSPRNG ext layouts are the
+                protocol path)."""
                 acc = None
+                grid_size = None
                 for i, chunk in enumerate(chunks):
                     sec8 = chunk(i) if callable(chunk) else jnp.asarray(chunk)
+                    if grid_size is None:
+                        grid_size = sec8.shape[-1] // lanes
                     part = _kernel8_combined(
-                        sec8, jnp.asarray(seed0 + 7919 * i, dtype=jnp.int32),
+                        sec8,
+                        jnp.asarray(seed0 + grid_size * i, dtype=jnp.int32),
                         p_chunk, lanes,
                     )
                     acc = part if acc is None else _add_mod_planar_lm(acc, part)
@@ -449,11 +454,35 @@ class TpuAggregationEngine:
                     )
                 return _reconstruct_planar8(acc, lanes)
 
+            @partial(jax.jit, static_argnums=(2, 3, 4))
+            def _kernel8_chunked(sec8_stacked, seed, n_chunks, p_chunk, lanes):
+                rec = fused_share_combine_mxu8(
+                    mxu8, spec.share_matrix, sec8_stacked, p_chunk, k_, r_,
+                    seed=seed, lanes=lanes, n_chunks=n_chunks,
+                    reconstruct_matrix=spec.reconstruct_matrix,
+                )
+                return batched_from_planar_lm(rec, self.nb, k_)
+
+            def _aggregate_mxu8_kernel_chunked(
+                sec8_stacked, n_chunks, p_chunk, seed=0, lanes=1024
+            ):
+                """Whole multi-chunk job in ONE launch: ``sec8_stacked``
+                stacks ``n_chunks`` planar chunks row-wise; the kernel runs
+                a (lane_blocks, chunk) reduction grid with a VMEM canonical
+                accumulator and fused reconstruction — the single-launch
+                form of :meth:`aggregate_mxu8_kernel_streaming` for jobs
+                whose stacked chunks fit HBM. Returns ``[nb, k, L16]``."""
+                return _kernel8_chunked(
+                    sec8_stacked, jnp.asarray(seed, dtype=jnp.int32),
+                    n_chunks, p_chunk, lanes,
+                )
+
             self.planar8_secrets = _planar8_secrets
             self.planar8_ext = _planar8_ext
             self.aggregate_mxu8_kernel = _aggregate_mxu8_kernel
             self.mxu8_kernel_combined = _kernel8_combined
             self.aggregate_mxu8_kernel_streaming = _aggregate_mxu8_kernel_streaming
+            self.aggregate_mxu8_kernel_chunked = _aggregate_mxu8_kernel_chunked
 
             @jax.jit
             def _share_mxu(ext):

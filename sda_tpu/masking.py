@@ -43,11 +43,21 @@ class NoneMasker:
 
 
 class FullMasker:
-    """Full-entropy additive pad (full.rs)."""
+    """Full-entropy additive pad (full.rs).
 
-    def __init__(self, modulus: int):
+    ``device_bulk_threshold``: when set and ``participants * dimension``
+    reaches it, :meth:`combine` — the reveal-side hot loop that sums every
+    participant's full-length mask (full.rs:38-52, driven from
+    receive.rs:102-118) — streams the mask vectors through the accelerator
+    limb accumulator (:func:`sda_tpu.engine.device_combine`). Masks are
+    canonical ``[0, p)``, so the device's canonical sum is bit-identical
+    to the host fold (no signed-representative divergence to reconcile).
+    """
+
+    def __init__(self, modulus: int, device_bulk_threshold: int | None = None):
         self.modulus = modulus
         self._field = PrimeField(modulus)
+        self.device_bulk_threshold = device_bulk_threshold
 
     # folds are exact in int64 via trunc_add_mod for any p < 2**63; only
     # genuinely >63-bit moduli pay for python-int (object) arithmetic.
@@ -70,6 +80,17 @@ class FullMasker:
         if not masks:
             return np.zeros(0, dtype=np.int64)
         d = len(masks[0])
+        if (
+            self.device_bulk_threshold is not None
+            and self._i64_ok
+            and len(masks) * d >= self.device_bulk_threshold
+        ):
+            for m in masks:
+                if len(m) != d:
+                    raise Invalid("mask dimension mismatch")
+            from sda_tpu.engine import device_combine
+
+            return device_combine(self.modulus, masks)
         if self._i64_ok:
             acc = np.zeros(d, dtype=np.int64)
             for m in masks:
@@ -172,14 +193,15 @@ def masker_for_scheme(scheme, device_bulk_threshold: int | None = None):
     """Factory mirroring CryptoModule's masker construction (masking/mod.rs:33-52).
 
     ``device_bulk_threshold`` forwards to maskers with an accelerator bulk
-    path (currently ChaCha seed re-expansion at reveal time).
+    path (ChaCha seed re-expansion and the Full-mask combine, both at
+    reveal time).
     """
     from sda_tpu import protocol as proto
 
     if isinstance(scheme, proto.NoMasking):
         return NoneMasker()
     if isinstance(scheme, proto.FullMasking):
-        return FullMasker(scheme.modulus)
+        return FullMasker(scheme.modulus, device_bulk_threshold=device_bulk_threshold)
     if isinstance(scheme, proto.ChaChaMasking):
         return ChaChaMasker(
             scheme.modulus,

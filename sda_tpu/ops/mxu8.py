@@ -351,21 +351,23 @@ def _fold8(mxu8: Mxu8Context, consts_ref, limbs):
     return res
 
 
-def _mxu8_kernel(
+def _chunk_canonical(
     mxu8, n, rand_cfg, n2, n_res1, n_res2,
-    seed_ref, consts_ref, bigs_ref, bigr_ref, big2_ref, c1_ref, c2_ref,
-    sec_ref, out_ref,
+    consts_ref, bigs_ref, bigr_ref, big2_ref, c1_ref, c2_ref,
+    sec_block, seed_val,
 ):
-    ctx = mxu8.ctx
-    L8 = mxu8.L8
+    """One chunk's full pipeline: biased contraction (+ in-kernel summed
+    randomness) -> carry chain -> optional fused stage-2 -> canonical L16
+    u32 lanes. Returns a list of ``ctx.L`` arrays ``[n_out, T]``."""
     acc = jax.lax.dot_general(
-        bigs_ref[...], sec_ref[...], (((1,), (0,)), ((), ())),
+        bigs_ref[...], sec_block, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
+    L8 = mxu8.L8
     if rand_cfg:
         p_count, words_per_p, pg, n_bytes = rand_cfg
-        T = sec_ref.shape[-1]
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        T = sec_block.shape[-1]
+        pltpu.prng_seed(seed_val)
         accE = jnp.zeros((words_per_p, T), jnp.uint32)
         accO = jnp.zeros((words_per_p, T), jnp.uint32)
         for _ in range(p_count // pg):
@@ -403,7 +405,20 @@ def _mxu8_kernel(
         limbs = _true_chain(
             acc2[: n2 * L8].reshape(n2, L8, -1), c2_ref, s128_2, n_res2
         )
-    res = _fold8(mxu8, consts_ref, limbs)
+    return _fold8(mxu8, consts_ref, limbs)
+
+
+def _mxu8_kernel(
+    mxu8, n, rand_cfg, n2, n_res1, n_res2,
+    seed_ref, consts_ref, bigs_ref, bigr_ref, big2_ref, c1_ref, c2_ref,
+    sec_ref, out_ref,
+):
+    ctx = mxu8.ctx
+    res = _chunk_canonical(
+        mxu8, n, rand_cfg, n2, n_res1, n_res2,
+        consts_ref, bigs_ref, bigr_ref, big2_ref, c1_ref, c2_ref,
+        sec_ref[...], seed_ref[0] + pl.program_id(0),
+    )
     n_out = n2 if n2 else n
     for l in range(ctx.L):
         # 2D limb-major output: out row block (l*n_out .. ) takes res[l]
@@ -413,10 +428,51 @@ def _mxu8_kernel(
         out_ref[l * n_out : (l + 1) * n_out, :] = res[l]
 
 
+def _mxu8_kernel_chunked(
+    mxu8, n, rand_cfg, n2, n_res1, n_res2, n_chunks, grid_t,
+    seed_ref, consts_ref, bigs_ref, bigr_ref, big2_ref, c1_ref, c2_ref,
+    sec_ref, out_ref, acc_ref,
+):
+    """Multi-chunk reduction grid: grid ``(lane_blocks, n_chunks)`` with the
+    chunk axis innermost. Each step runs one chunk's full pipeline; the
+    canonical per-output lanes accumulate mod p in a VMEM scratch and hit
+    HBM exactly once, on the last chunk — one kernel launch for a whole
+    streamed job instead of ``n_chunks`` kernel + add + reconstruct
+    launches. Per-(block, chunk) PRNG seeds are collision-free by
+    construction: ``seed + c * grid_t + t`` (every grid step owns a
+    distinct offset below ``n_chunks * grid_t``)."""
+    ctx = mxu8.ctx
+    t, c = pl.program_id(0), pl.program_id(1)
+    res = _chunk_canonical(
+        mxu8, n, rand_cfg, n2, n_res1, n_res2,
+        consts_ref, bigs_ref, bigr_ref, big2_ref, c1_ref, c2_ref,
+        sec_ref[...], seed_ref[0] + c * grid_t + t,
+    )
+    n_out = n2 if n2 else n
+
+    @pl.when(c == 0)
+    def _init():
+        for l in range(ctx.L):
+            acc_ref[l * n_out : (l + 1) * n_out, :] = res[l]
+
+    @pl.when(c > 0)
+    def _accumulate():
+        prev = [
+            acc_ref[l * n_out : (l + 1) * n_out, :] for l in range(ctx.L)
+        ]
+        summed = ctx.add_mod_lanes(prev, res)
+        for l in range(ctx.L):
+            acc_ref[l * n_out : (l + 1) * n_out, :] = summed[l]
+
+    @pl.when(c == n_chunks - 1)
+    def _emit():
+        out_ref[...] = acc_ref[...]
+
+
 def fused_share_combine_mxu8(
     mxu8: Mxu8Context,
     share_matrix,  # [m, n] canonical (normal-domain) host matrix
-    sec_planar,  # [P*slots*L8, NBP] int8 biased (slots = k or m)
+    sec_planar,  # [n_chunks*P*slots*L8, NBP] int8 biased (slots = k or m)
     p_count: int,
     k: int,
     rand_count: int,
@@ -424,6 +480,7 @@ def fused_share_combine_mxu8(
     lanes: int = 1024,
     reconstruct_matrix=None,  # optional [n, k2]: fuse the second modmat
     pg: int | None = None,
+    n_chunks: int = 1,
     interpret: bool = False,
 ):
     """Byte-limb fused MXU share+combine (+ optional fused reconstruct).
@@ -437,13 +494,24 @@ def fused_share_combine_mxu8(
     canonical randomness uses ``k + rand_count`` slots and leaves the PRNG
     unused). ``pg``: participants per PRNG draw (default: largest divisor
     of ``p_count`` up to 8).
+
+    ``n_chunks > 1``: ``sec_planar`` stacks that many ``p_count``-participant
+    chunks along the row axis and the whole job runs as ONE launch on a
+    ``(lane_blocks, n_chunks)`` reduction grid — each chunk stays inside the
+    int32 accumulator bound, canonical sums accumulate in VMEM scratch, and
+    (with ``reconstruct_matrix``, by linearity of the reconstruction) only
+    the final ``k2``-wide result ever reaches HBM. Total participants =
+    ``n_chunks * p_count``.
     """
     interpret = interpret or jax.default_backend() == "cpu"
     m = k + rand_count
     share_matrix = np.asarray(share_matrix, dtype=object)
     n = share_matrix.shape[1]
     L8 = mxu8.L8
-    rows, nbp = sec_planar.shape
+    all_rows, nbp = sec_planar.shape
+    if all_rows % n_chunks:
+        raise ValueError("sec_planar rows must divide evenly into n_chunks")
+    rows = all_rows // n_chunks
     if nbp % lanes:
         raise ValueError(f"NBP={nbp} must be a multiple of lanes={lanes}")
     if rows == p_count * k * L8:
@@ -510,38 +578,60 @@ def fused_share_combine_mxu8(
     n_limbs = (L8 + n_res2) if n2 else (L8 + n_res1)
     consts = _chunk_consts8(mxu8, -(-n_limbs // mxu8.chunk8))
 
-    kernel = functools.partial(
-        _mxu8_kernel, mxu8, n, rand_cfg, n2, n_res1, n_res2,
-    )
-    grid = (nbp // lanes,)
     n_out = n2 if n2 else n
     c1_arr = C1.astype(np.int32)
     c2_arr = C2.astype(np.int32)
+    grid_t = nbp // lanes
+    if n_chunks == 1:
+        kernel = functools.partial(
+            _mxu8_kernel, mxu8, n, rand_cfg, n2, n_res1, n_res2,
+        )
+        grid = (grid_t,)
+        sec_spec = pl.BlockSpec(
+            (rows, lanes), lambda t: (0, t), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (mxu8.ctx.L * n_out, lanes), lambda t: (0, t),
+            memory_space=pltpu.VMEM,
+        )
+        const_map = lambda t: (0, 0)  # noqa: E731
+        scratch_shapes = []
+    else:
+        kernel = functools.partial(
+            _mxu8_kernel_chunked, mxu8, n, rand_cfg, n2, n_res1, n_res2,
+            n_chunks, grid_t,
+        )
+        grid = (grid_t, n_chunks)  # chunk axis innermost
+        sec_spec = pl.BlockSpec(
+            (rows, lanes), lambda t, c: (c, t), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (mxu8.ctx.L * n_out, lanes), lambda t, c: (0, t),
+            memory_space=pltpu.VMEM,
+        )
+        const_map = lambda t, c: (0, 0)  # noqa: E731
+        scratch_shapes = [pltpu.VMEM((mxu8.ctx.L * n_out, lanes), jnp.uint32)]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk consts
-            pl.BlockSpec(bigs.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(bigr.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(big2.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(c1_arr.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(c2_arr.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (rows, lanes), lambda t: (0, t), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(bigs.shape, const_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bigr.shape, const_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(big2.shape, const_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(c1_arr.shape, const_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(c2_arr.shape, const_map, memory_space=pltpu.VMEM),
+            sec_spec,
         ],
-        out_specs=pl.BlockSpec(
-            (mxu8.ctx.L * n_out, lanes), lambda t: (0, t),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((mxu8.ctx.L * n_out, nbp), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             # large-P tiles (the epilogue amortizes per participant) need
             # more than the 16 MB default scoped VMEM for double buffering
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(
         jnp.asarray([seed], dtype=jnp.int32),

@@ -229,3 +229,78 @@ def test_streaming_mxu8_on_device():
         total = s if total is None else ctx.add_mod(total, s)
     out = engine.aggregate_mxu8_kernel_streaming(chunks, 4, seed0=3, lanes=128)
     assert np.array_equal(np.asarray(out), np.asarray(total))
+
+
+@pytest.mark.parametrize("engine", _engines())
+def test_chunked_reduction_grid_matches_unchunked(engine):
+    """n_chunks > 1 (single-launch reduction grid with VMEM accumulator +
+    fused stage-2 per chunk) == the same participants through the unchunked
+    kernel — both with and without fused reconstruction."""
+    spec, ctx, mxu8 = engine.spec, engine.ctx, engine.mxu8
+    rng = np.random.default_rng(5)
+    n_chunks, P = 3, 2  # 6 participants total
+    secrets = engine.encode_secrets(
+        rng.integers(0, min(ctx.p, 1 << 62), size=(n_chunks * P, engine.dimension))
+    )
+    ext = np.concatenate(
+        [secrets, engine.random_ext(n_chunks * P, rng=rng)], axis=2
+    )
+    lanes = 8
+    ext8_all = planar8_from_batched(mxu8, jnp.asarray(ext), lanes)
+    rows = ext8_all.shape[0] // n_chunks  # chunks stack row-major by P
+
+    # combined (per-clerk) outputs accumulate canonically across chunks
+    ref_comb = fused_share_combine_mxu8(
+        mxu8, spec.share_matrix, ext8_all, n_chunks * P, spec.secret_count,
+        spec.randomness_count, lanes=lanes, interpret=True,
+    )
+    got_comb = fused_share_combine_mxu8(
+        mxu8, spec.share_matrix, ext8_all, P, spec.secret_count,
+        spec.randomness_count, lanes=lanes, n_chunks=n_chunks, interpret=True,
+    )
+    assert np.array_equal(np.asarray(got_comb), np.asarray(ref_comb))
+
+    # fused stage-2: reconstruction is linear, so per-chunk reconstruct +
+    # canonical accumulate == reconstruct of the full combine
+    ref_rec = fused_share_combine_mxu8(
+        mxu8, spec.share_matrix, ext8_all, n_chunks * P, spec.secret_count,
+        spec.randomness_count, lanes=lanes,
+        reconstruct_matrix=spec.reconstruct_matrix, interpret=True,
+    )
+    got_rec = fused_share_combine_mxu8(
+        mxu8, spec.share_matrix, ext8_all, P, spec.secret_count,
+        spec.randomness_count, lanes=lanes, n_chunks=n_chunks,
+        reconstruct_matrix=spec.reconstruct_matrix, interpret=True,
+    )
+    assert np.array_equal(np.asarray(got_rec), np.asarray(ref_rec))
+    got_b = batched_from_planar_lm(got_rec, engine.nb, spec.secret_count)
+    assert np.array_equal(
+        np.asarray(got_b), np.asarray(ctx.sum_mod(jnp.asarray(secrets), axis=0))
+    )
+
+
+def test_engine_chunked_entrypoint_matches_streaming():
+    """engine.aggregate_mxu8_kernel_chunked == the per-chunk streaming path
+    for caller-provided (host-CSPRNG layout) randomness."""
+    from sda_tpu.fields import find_special_prime_field
+
+    p, w2, w3 = find_special_prime_field(63, 8, 9)
+    engine = _engine(p, w2, w3, 21)
+    spec, ctx, mxu8 = engine.spec, engine.ctx, engine.mxu8
+    rng = np.random.default_rng(9)
+    n_chunks, P = 2, 3
+    secrets = engine.encode_secrets(
+        rng.integers(0, 1 << 62, size=(n_chunks * P, engine.dimension))
+    )
+    ext = np.concatenate(
+        [secrets, engine.random_ext(n_chunks * P, rng=rng)], axis=2
+    )
+    lanes = 8
+    ext8_all = planar8_from_batched(mxu8, jnp.asarray(ext), lanes)
+    rows = ext8_all.shape[0] // n_chunks
+    chunks = [ext8_all[i * rows : (i + 1) * rows] for i in range(n_chunks)]
+    ref = engine.aggregate_mxu8_kernel_streaming(chunks, P, lanes=lanes)
+    got = engine.aggregate_mxu8_kernel_chunked(
+        ext8_all, n_chunks, P, lanes=lanes
+    )
+    assert np.array_equal(np.asarray(got), np.asarray(ref))

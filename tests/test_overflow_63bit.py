@@ -121,3 +121,26 @@ def test_packed_combine_63bit_prime_matches_oracle():
     for v in vecs:
         acc = [_oracle_trunc(a + int(x), p) for a, x in zip(acc, v)]
     assert got.tolist() == acc
+
+
+def test_full_masker_device_combine_parity():
+    """FullMasker.combine past the bulk threshold (device limb accumulator,
+    full.rs:38-52 at scale) is bit-identical to the host fold — masks are
+    canonical [0, p), so no representative reconciliation is needed."""
+    d, parts = 64, 10
+    rng = np.random.default_rng(21)
+    masks = [
+        (rng.integers(0, 1 << 62, size=d, dtype=np.int64) % P63)
+        for _ in range(parts)
+    ]
+    host = FullMasker(P63).combine(masks)
+    dev = FullMasker(P63, device_bulk_threshold=1).combine(masks)
+    assert dev.tolist() == host.tolist()
+    # dimension mismatch raises identically on the device route
+    import pytest as _pytest
+
+    from sda_tpu.utils.errors import Invalid
+
+    bad = masks[:3] + [masks[3][:-1]]
+    with _pytest.raises(Invalid):
+        FullMasker(P63, device_bulk_threshold=1).combine(bad)

@@ -50,11 +50,23 @@ def main() -> int:
         "--devices", "1", "--dim-per-device", "33334",
         "--participants-per-device", "768", "--streaming-chunks", "4",
     ])
-    # 2. virtual 8-device mesh (collective-structure validation)
+    # 2. virtual 8-device mesh — CORRECTNESS-ONLY: it validates that the
+    # collective structure (modular psum ring + all-gather) compiles and
+    # executes over 8 XLA devices. Its timings are N processes timeslicing
+    # one shared host CPU, where collectives cost nothing like ICI, so no
+    # efficiency or comm-fraction numbers are derived from it (r3's were
+    # noise and are dropped from the artifact).
     virt = run_bench({}, [
         "--devices", "8", "--cpu-mesh", "--dim-per-device", "2048",
         "--participants-per-device", "8", "--streaming-chunks", "3",
     ])
+    virt_summary = {
+        "purpose": "correctness-only: collective structure executes on 8 "
+                   "virtual XLA devices; CPU-mesh timings carry no "
+                   "scaling signal (one shared host CPU)",
+        "devices_validated": sorted(int(k) for k in virt["results"]),
+        "streaming_sharded_ran": bool(virt.get("streaming_sharded")),
+    }
 
     s = real["streaming_sharded"]
     chunk_ms = s["chunk_loop_ms"] / s["chunks"]
@@ -80,15 +92,29 @@ def main() -> int:
     # per chip on a pure-p mesh) + reconstruction (negligible, measured
     # inside finish_ms on the real chip)
     payload_bytes = payload_mb * 1e6 * (dim / meas_dim)
-    allreduce_s = 2 * (chips - 1) / chips * payload_bytes / (ici_gbps * 1e9)
     finish_local_s = (s["finish_ms"] / 1e3) * (v5e_hbm / v5p_hbm) * (dim / meas_dim)
-    total_s = compute_s + allreduce_s + finish_local_s
-    efficiency = compute_s / total_s
+
+    def project(ici):
+        ar = 2 * (chips - 1) / chips * payload_bytes / (ici * 1e9)
+        tot = compute_s + ar + finish_local_s
+        return ar, tot, compute_s / tot
+
+    allreduce_s, total_s, efficiency = project(ici_gbps)
+    # the model's ONE load-bearing assumption is the effective per-chip ICI
+    # bandwidth; show how the projection moves across a 3x range of it
+    sensitivity = {
+        f"{int(g)}_GBps": {
+            "allreduce_s": round(project(g)[0], 5),
+            "total_s": round(project(g)[1], 4),
+            "weak_scaling_efficiency": round(project(g)[2], 4),
+        }
+        for g in (50.0, 100.0, 150.0)
+    }
 
     artifact = {
         "metric": "config-5 scaling: measured splits + v5p-16 projection",
         "real_chip": real,
-        "virtual_8dev_mesh": virt,
+        "virtual_8dev_mesh": virt_summary,
         "model": {
             "assumptions": {
                 "v5p_hbm_gbps": v5p_hbm,
