@@ -242,13 +242,14 @@ def _bench_config2():
 
 
 def _bench_config3():
-    """128-bit modulus: 16-byte limbs, 1,024 participants, ONE launch.
+    """128-bit modulus: 16-byte limbs, 1,024 participants, ONE launch,
+    ONE chunk.
 
-    Each 512-participant chunk saturates the int32 accumulator bound;
-    the (lane_blocks, 2)-grid reduction kernel accumulates both chunks in
-    VMEM and reconstructs fused. (r3 ran this as 4 launches — 2 combine +
-    1 add + 1 reconstruct — and inter-launch gaps + the extra per-clerk
-    HBM round-trips held it to 0.61 of SoL.)
+    The uint32 carry chain admits all 1,024 participants in a single pass
+    (true column values < 2^32; r3's int32 reading of the bound forced
+    2 x 512 chunks). r3 ran this as 4 launches — 2 combine + 1 add + 1
+    reconstruct — and inter-launch gaps + doubled epilogues + the extra
+    per-clerk HBM round-trips held it to 0.61 of SoL.
     """
     import jax
     import jax.numpy as jnp
@@ -256,7 +257,7 @@ def _bench_config3():
     from sda_tpu.models import FederatedAggregation
     from sda_tpu.utils.profiling import roofline
 
-    dimension, p_chunk, n_chunks = 10_002, 512, 2
+    dimension, p_chunk, n_chunks = 10_002, 1024, 1
     model = FederatedAggregation.packed_128bit(dimension=dimension)
     engine = model.engine
     mxu8 = engine.mxu8

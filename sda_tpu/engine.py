@@ -44,8 +44,34 @@ def device_combine(modulus: int, share_vectors, chunk_size: int = 256) -> np.nda
     ``chunk_size``-participant chunks, so peak host memory is
     O(chunk_size x dimension) — not O(participants x dimension) — the same
     streaming answer to clerk.rs:71-72 the server-side transpose uses.
+
+    Staging: each int64 chunk ships to the device as its raw little-endian
+    (lo, hi) uint32 pairs (a zero-copy numpy view — no host limb encode, no
+    host ``% p``, half the transfer bytes of u32 limbs); the device splits
+    16-bit lanes and canonicalises trunc-domain negatives by subtracting
+    ``2^64 - p`` with borrow. Values outside ``(-p, p)`` (never produced by
+    the protocol, possible from a hostile wire) fall back to a host
+    floor-mod for that chunk.
     """
-    ctx = LimbContext.create_add_only(modulus)
+    import sys as _sys
+
+    ctx = LimbContext.create_add_only(modulus, L=4)
+    two64_minus_p = [(int(((1 << 64) - modulus) >> (16 * j)) & 0xFFFF) for j in range(4)]
+
+    @partial(jax.jit, static_argnums=())
+    def _pairs_sum(pairs):  # [C, d, 2] uint32 -> [d, 4] canonical limbs
+        lo, hi = pairs[..., 0], pairs[..., 1]
+        lanes = [lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16]
+        neg = (hi >> 31).astype(jnp.int32)  # 1 where the i64 was negative
+        out, borrow = [], jnp.zeros_like(neg)
+        for j in range(4):
+            t = lanes[j].astype(jnp.int32) - neg * two64_minus_p[j] - borrow
+            out.append((t & 0xFFFF).astype(jnp.uint32))
+            borrow = (t >> 31) & 1
+        x = jnp.stack(out, axis=-1)  # [C, d, 4] canonical
+        return ctx.sum_mod(x, axis=0)
+
+    le = _sys.byteorder == "little"
     acc = None
 
     def flush(acc, buf):
@@ -53,8 +79,20 @@ def device_combine(modulus: int, share_vectors, chunk_size: int = 256) -> np.nda
             # zero-pad the tail chunk: zeros are the additive identity, and
             # a single chunk shape means a single jit compilation
             buf = buf + [np.zeros_like(buf[0])] * (chunk_size - len(buf))
-        limbs = jnp.asarray(ctx.encode_i64(np.asarray(buf, dtype=np.int64)))
-        part = ctx.sum_mod(limbs, axis=0)
+        arr = np.ascontiguousarray(np.asarray(buf, dtype=np.int64))
+        if le:
+            # min/max (not abs: abs(INT64_MIN) wraps) guard the (-p, p) domain
+            if arr.size and not (
+                int(arr.min()) > -modulus and int(arr.max()) < modulus
+            ):
+                # hostile-wire magnitudes: exact host floor-mod first,
+                # then the same device pair path (values now canonical)
+                arr = np.ascontiguousarray(arr % modulus)
+            pairs = arr.view(np.uint32).reshape(arr.shape + (2,))
+            part = _pairs_sum(jnp.asarray(pairs))
+        else:
+            limbs = jnp.asarray(ctx.encode_i64(arr))
+            part = ctx.sum_mod(limbs, axis=0)
         return part if acc is None else ctx.add_mod(acc, part)
 
     buf: list[np.ndarray] = []

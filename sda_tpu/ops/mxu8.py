@@ -265,15 +265,23 @@ def _true_chain(acc_cols, c_ref, s128, n_res: int):
     """Biased accumulator columns -> nonneg byte limbs of the true value.
 
     ``acc_cols [n, L8, T] int32`` (biased contraction), ``c_ref [n, L8]``
-    int32 bias constants (VMEM), ``s128 [1, T]`` = 128 * ones-column row.
+    uint32 bias constants (VMEM), ``s128 [1, T]`` = 128 * ones-column row.
     Returns ``L8 + n_res`` arrays ``[n, T]`` in ``[0, 256)``: the base-256
     digits of ``true[i] = sum_c (acc[i,c] + C[i,c] + s128) * 2^(8c)``.
+
+    The chain runs in **uint32**: the biased int32 accumulator wraps to its
+    residue mod 2^32, and since every true column value is non-negative and
+    bounded by ``K_rows * 255^2 < 2^32``, the mod-2^32 sum IS the true
+    value exactly. (An int32 chain would cap ``K_rows`` at half the
+    participants for no reason — the sign bit carries real magnitude here.)
     """
     n, L8, _ = acc_cols.shape
+    acc_u = acc_cols.astype(jnp.uint32)
+    s128_u = s128.astype(jnp.uint32)
     limbs = []
-    carry = s128 * 0  # [1, T] zeros, broadcasts against [n, T]
+    carry = s128_u * 0  # [1, T] zeros, broadcasts against [n, T]
     for c in range(L8):
-        t = acc_cols[:, c, :] + c_ref[:, c : c + 1] + s128 + carry
+        t = acc_u[:, c, :] + c_ref[:, c : c + 1] + s128_u + carry
         limbs.append(t & _MASK8)
         carry = t >> _W8
     for _ in range(n_res):
@@ -546,14 +554,18 @@ def fused_share_combine_mxu8(
         )
         C1 = C1 + Cr
 
-    # int32 accumulator / true-value bound: every row contributes at most
-    # 255*255 to a column's unbiased value
+    # Accumulator / true-value bound: every row contributes at most 255*255
+    # to a column's unbiased value and the uint32 carry chain needs
+    # column + incoming carry < 2^32 (see _true_chain), i.e.
+    # K_rows * (255^2 + 255) < 2^32 -> K_rows <= 65793. (The biased int32
+    # dot accumulator binds later, at K_rows <= 131071.)
     K_rows = bigs.shape[1] + (bigr.shape[1] if rand_cfg else 0)
     row_bound = K_rows * _MASK8 * _MASK8
-    if row_bound >= (1 << 31):
+    if K_rows * (_MASK8 * _MASK8 + _MASK8) >= (1 << 32):
         raise ValueError(
-            "participants * scheme_size exceeds the int32 accumulator bound; "
-            "chunk the participant axis (engine streaming path)"
+            "participants * scheme_size exceeds the uint32 carry-chain "
+            "bound; chunk the participant axis (n_chunks / engine "
+            "streaming path)"
         )
     n_res1 = _residual_limbs(row_bound)
     C1 = C1.reshape(n, L8)
@@ -579,8 +591,8 @@ def fused_share_combine_mxu8(
     consts = _chunk_consts8(mxu8, -(-n_limbs // mxu8.chunk8))
 
     n_out = n2 if n2 else n
-    c1_arr = C1.astype(np.int32)
-    c2_arr = C2.astype(np.int32)
+    c1_arr = C1.astype(np.uint32)
+    c2_arr = C2.astype(np.uint32)
     grid_t = nbp // lanes
     if n_chunks == 1:
         kernel = functools.partial(

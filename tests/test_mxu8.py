@@ -185,13 +185,39 @@ def test_accumulator_bound_rejected():
     p64, w2, w3 = find_prime_field(62, 8, 9)
     engine = _engine(p64, w2, w3, 24)
     spec, mxu8 = engine.spec, engine.mxu8
-    P = 3000  # 3000 * 3 * 8 * 255^2 > 2^31
+    P = 3000  # 3000 * 3 * 8 * (255^2 + 255) > 2^32
     sec8 = jnp.zeros((P * spec.secret_count * mxu8.L8, 8), dtype=jnp.int8)
-    with pytest.raises(ValueError, match="accumulator bound"):
+    with pytest.raises(ValueError, match="carry-chain bound"):
         fused_share_combine_mxu8(
             mxu8, spec.share_matrix, sec8, P, spec.secret_count,
             spec.randomness_count, lanes=8, interpret=True,
         )
+
+
+def test_uint32_chain_exact_above_int31():
+    """Participant counts whose true column values exceed 2^31 (but not the
+    uint32 carry-chain bound) are exact — the r4 bound relaxation that lets
+    config-3 run 1024 participants in one chunk. Saturated operands push
+    every column to its maximum: K_rows * 255^2 > 2^31."""
+    p64, w2, w3 = find_prime_field(62, 8, 9)
+    engine = _engine(p64, w2, w3, 6)
+    spec, ctx, mxu8 = engine.spec, engine.ctx, engine.mxu8
+    P = 1100  # ext layout: 1100 * 7 * 8 * 255^2 = 4.0e9: > 2^31, < bound
+    # all-0xFF planar bytes = biased 0x7F: every element is the all-ones
+    # canonical-by-chunk value, driving the accumulator to its max
+    secrets = np.full((P, engine.dimension), (1 << 48) - 1, dtype=np.int64)
+    enc = engine.encode_secrets(secrets)
+    ext = np.concatenate([enc, engine.random_ext(P, rng=np.random.default_rng(3))], axis=2)
+    lanes = 8
+    ext8 = planar8_from_batched(mxu8, jnp.asarray(ext), lanes)
+    out = fused_share_combine_mxu8(
+        mxu8, spec.share_matrix, ext8, P, spec.secret_count,
+        spec.randomness_count, lanes=lanes,
+        reconstruct_matrix=spec.reconstruct_matrix, interpret=True,
+    )
+    got = batched_from_planar_lm(out, engine.nb, spec.secret_count)
+    ref = ctx.sum_mod(jnp.asarray(enc), axis=0)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
 
 
 @pytest.mark.tpu
