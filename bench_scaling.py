@@ -173,8 +173,10 @@ def main() -> int:
         def chunk_loop(seed0):
             acc = None
             for i in range(n_chunks):
+                # the pipeline scales seeds into disjoint per-shard windows
+                # internally; consecutive chunk indices are the right input
                 part = step_fn(
-                    chunks[i], jnp.asarray(seed0 + 7919 * i, jnp.int32)
+                    chunks[i], jnp.asarray(seed0 * n_chunks + i, jnp.int32)
                 )
                 acc = part if acc is None else pipe._add_mod_sharded(acc, part)
             return acc

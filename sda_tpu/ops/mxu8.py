@@ -97,7 +97,9 @@ class Mxu8Context:
     ``L8``: bytes per canonical element (= ``2 * ctx.L``, the 16-bit limbs
     split in half); ``chunk8``: bytes per canonical-by-construction chunk
     (``2^(8*chunk8) <= p``); ``L16r``: u16 randomness limbs per sharing-
-    randomness slot (``p`` bits + 64 guard bits, mod-p bias ``<= 2^-64``).
+    randomness slot — minimal fold width for pseudo-Mersenne moduli
+    (bias ``~c/2^e``, guard bits provably useless there — see
+    :meth:`create`), ``p`` bits + 64 guard bits otherwise.
     """
 
     ctx: LimbContext
@@ -116,11 +118,23 @@ class Mxu8Context:
         # pseudo-Mersenne fast reduction: see _fold8_special. c must keep
         # the per-half products in u32, and bit e must live inside the lanes
         special = (e, c) if c < (1 << 14) and e < _W16 * ctx.L else None
+        # Randomness-fold width. Folding a uniform b-bit draw mod p has
+        # total-variation bias rem*(p-rem)/(p*2^b) with rem = 2^b mod p.
+        # For pseudo-Mersenne p = 2^e - c, rem = c*2^(b-e), so the bias is
+        # ~c/2^e REGARDLESS of b — extra guard bits buy nothing (only
+        # rejection sampling would) — and the minimal fold width b = 16*L
+        # achieves the optimum (~2^-53 at the 63-bit production prime,
+        # ~2^-116 at the 128-bit one). Generic primes keep 64 guard bits
+        # for the standard rem/2^b <= p/2^b <= 2^-64 bound.
+        if special is not None:
+            L16r = -(-(e + 1) // _W16)
+        else:
+            L16r = -(-(p.bit_length() + 64) // _W16)
         return cls(
             ctx=ctx,
             L8=2 * ctx.L,
             chunk8=(p.bit_length() - 1) // _W8,
-            L16r=-(-(p.bit_length() + 64) // _W16),
+            L16r=L16r,
             special=special,
         )
 
@@ -498,10 +512,11 @@ def fused_share_combine_mxu8(
     or ``k2`` with ``reconstruct_matrix``) — reshape to ``[L16, n_out,
     NBP]`` to index. If ``sec_planar`` carries ``k`` slots per participant,
     sharing randomness is drawn raw in-kernel from ``seed`` (u16-limb
-    uniform, bias <= 2^-64 — a benchmark/device-trust device; host-CSPRNG
-    canonical randomness uses ``k + rand_count`` slots and leaves the PRNG
-    unused). ``pg``: participants per PRNG draw (default: largest divisor
-    of ``p_count`` up to 8).
+    uniform folded mod p at the width ``Mxu8Context.create`` proves
+    optimal — a benchmark/device-trust device; host-CSPRNG canonical
+    randomness uses ``k + rand_count`` slots and leaves the PRNG unused).
+    ``pg``: participants per PRNG draw (default: largest divisor of
+    ``p_count`` up to 8).
 
     ``n_chunks > 1``: ``sec_planar`` stacks that many ``p_count``-participant
     chunks along the row axis and the whole job runs as ONE launch on a

@@ -119,7 +119,15 @@ class ShardedAggregationPipeline:
 
             def _mxu_local(sec7_loc, seed, p_loc, lanes):
                 idx = jax.lax.axis_index("p") * n_c + jax.lax.axis_index("c")
-                local_seed = seed + jnp.int32(1315423911) * idx.astype(jnp.int32)
+                # collision-free per-(seed, shard, block) PRNG offsets: the
+                # in-kernel offset is seed + program_id (< grid_n), so give
+                # every shard a disjoint grid_n-wide window and every seed a
+                # disjoint n_shards*grid_n-wide window (consecutive caller
+                # seeds never overlap until int32 wrap exhausts 2^32/stride)
+                grid_n = jnp.int32(sec7_loc.shape[1] // lanes)
+                local_seed = (
+                    seed * jnp.int32(n_shards) + idx.astype(jnp.int32)
+                ) * grid_n
                 # slot count (k vs k+r) is auto-detected from the row count:
                 # k slots -> on-chip PRNG randomness, k+r -> caller-supplied
                 comb16 = fused_share_combine_mxu(
@@ -188,9 +196,14 @@ class ShardedAggregationPipeline:
             # protocol's P1 streaming with P2/P5 sharding (SURVEY.md §2.8).
             def _chunk_body(sec7_loc, seed, slots):
                 idx = jax.lax.axis_index("p") * n_c + jax.lax.axis_index("c")
-                local_seed = seed + jnp.int32(1315423911) * idx.astype(jnp.int32)
                 p_loc = sec7_loc.shape[0] // (slots * L7)
                 lanes = min(512, sec7_loc.shape[1])
+                # same disjoint-window seed schedule as _mxu_local: callers
+                # pass consecutive chunk indices, not pre-scaled seeds
+                grid_n = jnp.int32(sec7_loc.shape[1] // lanes)
+                local_seed = (
+                    seed * jnp.int32(n_shards) + idx.astype(jnp.int32)
+                ) * grid_n
                 comb16 = fused_share_combine_mxu(
                     mxu, spec.share_matrix, sec7_loc, p_loc,
                     k_, r_, seed=local_seed, lanes=lanes, out7=False,
