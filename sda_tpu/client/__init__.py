@@ -29,12 +29,15 @@ __all__ = ["SdaClient", "RecipientOutput", "new_agent", "Filebased", "MemoryStor
 
 # Clerk-combine routing crossover, in total share elements per job
 # (participants x per-clerk vector length). Below it the fused native
-# open+combine (one C++ call, shares never materialised) wins; above it the
-# per-chunk transfer cost of the device path amortises and HBM bandwidth
-# beats the host cores. Measured on the 2-core axon host + v5e
-# (tools/measure_combine_crossover.py, r4): host fused sustains ~45M
-# elements/s of combine while device_combine's staging overhead only drops
-# below that past ~2e7 elements; pinned by test_clerk_routing.py.
+# open+combine (one C++ call, shares never materialised) runs; above it the
+# job streams through the device accumulator. Measured
+# (tools/measure_combine_crossover.py -> CROSSOVER.json, r4): on this
+# 2-core host the fused path sustains 11-50M elements/s while the tunneled
+# device link caps the device route at ~0.2-2.5M, so the device NEVER won
+# here — the constant is set from the device path's two structural
+# advantages at scale (HBM-rate accumulation once the link is PCIe-class,
+# and O(chunk) peak plaintext via _streamed_decrypt for jobs too big to
+# decode-and-hold). Routing behavior is pinned by test_clerk_routing.py.
 DEVICE_COMBINE_CROSSOVER = 20_000_000
 
 

@@ -52,6 +52,13 @@ class FullMasker:
     limb accumulator (:func:`sda_tpu.engine.device_combine`). Masks are
     canonical ``[0, p)``, so the device's canonical sum is bit-identical
     to the host fold (no signed-representative divergence to reconcile).
+
+    Routing note: the device route pays one host->device pass over the
+    mask bytes, while the host fold (``trunc_add_mod``) already sustains
+    ~2.5 GB/s on two cores — so it only wins when the accelerator link is
+    faster than that times the core count (true for PCIe-attached chips,
+    false for tunneled dev boxes; ``bench.py``'s ``fullmask_reveal``
+    section measures both on the current host).
     """
 
     def __init__(self, modulus: int, device_bulk_threshold: int | None = None):

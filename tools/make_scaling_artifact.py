@@ -133,6 +133,7 @@ def main() -> int:
             "total_s": round(total_s, 4),
             "aggregations_per_s": round(participants / total_s, 1),
             "weak_scaling_efficiency": round(efficiency, 4),
+            "ici_bandwidth_sensitivity": sensitivity,
         },
     }
     with open(out_path, "w") as f:
