@@ -29,6 +29,7 @@
 extern "C" {
 size_t sda_varint_decode(const uint8_t* data, size_t len, int64_t* out,
                          size_t max_out);
+size_t sda_varint_count(const uint8_t* data, size_t len);
 }
 
 namespace {
@@ -175,7 +176,15 @@ int sda_sealed_open_combine(const uint8_t* boxes, const size_t* offs,
                 size_t n = sda_varint_decode(plain.data(), plain.size(),
                                              rows[tid].data(), dim + 1);
                 if (n == SIZE_MAX) {
-                    code = -3;  // malformed (or wildly over-long) stream
+                    // bounded decode overflow conflates "well-formed but
+                    // longer than dim+1 values" with "malformed"; a
+                    // count-only rescan separates them so the caller can
+                    // raise the protocol's dimension error vs the codec's
+                    // (error path only — never paid by honest jobs)
+                    code = sda_varint_count(plain.data(), plain.size()) ==
+                                   SIZE_MAX
+                               ? -3   // genuinely malformed stream
+                               : -4;  // well-formed, wrong share count
                 } else if (n != dim) {
                     code = -4;  // wrong share count for this job
                 }

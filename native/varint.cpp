@@ -58,4 +58,25 @@ size_t sda_varint_decode(const uint8_t* data, size_t len, int64_t* out,
 // Upper bound on decoded count for buffer sizing: one value per byte.
 size_t sda_varint_max_count(size_t len) { return len; }
 
+// Count the varints in a stream without decoding values.
+// Returns the count, or SIZE_MAX if the stream is malformed (truncated or
+// overlong for i64). Used to distinguish "well-formed but wrong length"
+// from "malformed" after a bounded decode overflows its buffer.
+size_t sda_varint_count(const uint8_t* data, size_t len) {
+    size_t count = 0;
+    size_t i = 0;
+    while (i < len) {
+        int shift = 0;
+        for (;;) {
+            if (i >= len) return SIZE_MAX;  // truncated
+            uint8_t byte = data[i++];
+            if (shift >= 64) return SIZE_MAX;  // overlong for i64
+            if (!(byte & 0x80)) break;
+            shift += 7;
+        }
+        ++count;
+    }
+    return count;
+}
+
 }  // extern "C"

@@ -51,6 +51,7 @@ def _streamed_decrypt(decryptor, encryptions, chunk: int = 256):
     from concurrent.futures import ThreadPoolExecutor
 
     encryptions = list(encryptions)
+    d = None
     with ThreadPoolExecutor(max_workers=1) as ex:
         pending = ex.submit(decryptor.decrypt_many, encryptions[:chunk])
         for start in range(0, len(encryptions), chunk):
@@ -58,7 +59,15 @@ def _streamed_decrypt(decryptor, encryptions, chunk: int = 256):
             nxt = encryptions[start + chunk : start + 2 * chunk]
             if nxt:
                 pending = ex.submit(decryptor.decrypt_many, nxt)
-            yield from got
+            for v in got:
+                # same dimension check the sequential combine fold applies
+                # (combiner.rs semantics) — without it a ragged vector
+                # surfaces as a raw numpy shape error from device_combine
+                if d is None:
+                    d = len(v)
+                elif len(v) != d:
+                    raise Invalid("Wrong dimension")
+                yield v
 
 
 @dataclass

@@ -88,42 +88,34 @@ class ShareDecryptor:
         ``ValueError`` like ``decode_varints``.
         """
         import ctypes
-        import os
 
-        from sda_tpu.utils.varint import _NATIVE
-
-        if (
-            _NATIVE is None
-            or not hasattr(_NATIVE, "sda_sealed_open_combine")
-            or not (0 < modulus < (1 << 63))
-        ):
-            return None
-        if not getattr(ShareDecryptor, "_combine_typed", False):
-            _NATIVE.sda_sealed_open_combine.restype = ctypes.c_int
-            _NATIVE.sda_sealed_open_combine.argtypes = [
+        fn = _native_fn(
+            "sda_sealed_open_combine",
+            [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_size_t),
                 ctypes.c_size_t, ctypes.c_char_p, ctypes.c_char_p,
                 ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_size_t, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_size_t),
-            ]
-            ShareDecryptor._combine_typed = True
-        datas = [e.data for e in encryptions]
-        if not datas:
+            ],
+            ctypes.c_int,
+        )
+        if fn is None or not (0 < modulus < (1 << 63)):
+            return None
+        staged = _stage_boxes(encryptions)
+        if staged is None:
             return np.zeros(0, dtype=np.int64)
-        offs = np.zeros(len(datas) + 1, dtype=np.uintp)
-        offs[1:] = np.cumsum([len(d) for d in datas], dtype=np.uint64)
-        blob = np.frombuffer(b"".join(datas), dtype=np.uint8)
+        blob, offs, count = staged
         combined = np.empty(dim, dtype=np.int64)
         fail = ctypes.c_size_t(0)
-        rc = _NATIVE.sda_sealed_open_combine(
+        rc = fn(
             blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
-            len(datas), self._ek, self._dk,
+            count, self._ek, self._dk,
             ctypes.c_uint64(modulus),
             combined.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             dim,
-            workers or min(32, os.cpu_count() or 1),
+            _default_workers(workers),
             ctypes.byref(fail),
         )
         if rc == 0:
@@ -166,6 +158,47 @@ class ShareDecryptor:
             return list(ex.map(self.decrypt, encryptions, chunksize=32))
 
 
+_SEAL_BYTES = 48  # crypto_box_SEALBYTES
+
+
+def _native_fn(name: str, argtypes, restype):
+    """Resolve a libsda_native symbol, setting its ctypes signature once.
+
+    One latch per symbol (kept on this function) so both native entry
+    points share the staging/signature plumbing — the next ABI change is
+    made in exactly one place.
+    """
+    from sda_tpu.utils.varint import _NATIVE
+
+    if _NATIVE is None or not hasattr(_NATIVE, name):
+        return None
+    typed = _native_fn.__dict__.setdefault("_typed", set())
+    fn = getattr(_NATIVE, name)
+    if name not in typed:
+        fn.restype = restype
+        fn.argtypes = argtypes
+        typed.add(name)
+    return fn
+
+
+def _stage_boxes(encryptions):
+    """Contiguous (blob, offsets, count) staging for a list of sealed
+    boxes, shared by both native entry points. ``None`` for an empty job."""
+    datas = [e.data for e in encryptions]
+    if not datas:
+        return None
+    offs = np.zeros(len(datas) + 1, dtype=np.uintp)
+    offs[1:] = np.cumsum([len(d) for d in datas], dtype=np.uint64)
+    blob = np.frombuffer(b"".join(datas), dtype=np.uint8)
+    return blob, offs, len(datas)
+
+
+def _default_workers(workers):
+    import os
+
+    return workers or min(32, os.cpu_count() or 1)
+
+
 def _native_open_batch(encryptions, ek: bytes, dk: bytes, workers):
     """Whole-job sealed-box open via native/sealed_batch.cpp, or ``None``
     when the native library (or its libsodium) is unavailable.
@@ -176,47 +209,46 @@ def _native_open_batch(encryptions, ek: bytes, dk: bytes, workers):
     oversized box cannot inflate every row.
     """
     import ctypes
-    import os
 
-    from sda_tpu.utils.varint import _NATIVE
-
-    if _NATIVE is None or not hasattr(_NATIVE, "sda_sealed_open_batch"):
-        return None
-    if not getattr(_native_open_batch, "_typed", False):
-        _NATIVE.sda_sealed_open_batch.restype = ctypes.c_int
-        _NATIVE.sda_sealed_open_batch.argtypes = [
+    fn = _native_fn(
+        "sda_sealed_open_batch",
+        [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_size_t),
             ctypes.c_size_t, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
-        ]
-        _native_open_batch._typed = True
-    datas = [e.data for e in encryptions]
-    offs = np.zeros(len(datas) + 1, dtype=np.uintp)
-    offs[1:] = np.cumsum([len(d) for d in datas], dtype=np.uint64)
-    blob = np.frombuffer(b"".join(datas), dtype=np.uint8)
+        ],
+        ctypes.c_int,
+    )
+    if fn is None:
+        return None
+    staged = _stage_boxes(encryptions)
+    if staged is None:
+        return []
+    blob, offs, count = staged
     # per-box output capacity = plaintext bytes (box minus the 48-byte seal)
-    out_offs = np.zeros(len(datas) + 1, dtype=np.uintp)
+    out_offs = np.zeros(count + 1, dtype=np.uintp)
     out_offs[1:] = np.cumsum(
-        [max(len(d) - _SEAL_BYTES, 0) for d in datas], dtype=np.uint64
+        [max(len(e.data) - _SEAL_BYTES, 0) for e in encryptions],
+        dtype=np.uint64,
     )
     out = np.empty(int(out_offs[-1]), dtype=np.int64)
-    lens = np.empty(len(datas), dtype=np.uintp)
-    rc = _NATIVE.sda_sealed_open_batch(
+    lens = np.empty(count, dtype=np.uintp)
+    rc = fn(
         blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
-        len(datas), ek, dk,
+        count, ek, dk,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         out_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
-        workers or min(32, os.cpu_count() or 1),
+        _default_workers(workers),
     )
     if rc != 0:
         return None
     open_failed = np.uintp((1 << 64) - 1)  # SIZE_MAX
     decode_failed = np.uintp((1 << 64) - 2)  # SIZE_MAX - 1
     result = []
-    for i in range(len(datas)):
+    for i in range(count):
         if lens[i] == open_failed:
             raise Invalid("sodium seal_open failure (tampered or wrong key)")
         if lens[i] == decode_failed:
@@ -224,9 +256,6 @@ def _native_open_batch(encryptions, ek: bytes, dk: bytes, workers):
         start = int(out_offs[i])
         result.append(out[start : start + int(lens[i])].copy())
     return result
-
-
-_SEAL_BYTES = 48  # crypto_box_SEALBYTES
 
 
 class CryptoModule:

@@ -16,6 +16,7 @@ large, and what the benchmark configs measure.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -28,6 +29,33 @@ from sda_tpu.ops.mxu import MxuContext, mxu_modmat
 from sda_tpu.sharing import DeviceSchemeSpec
 
 __all__ = ["TpuAggregationEngine", "device_combine"]
+
+
+@functools.lru_cache(maxsize=None)
+def _pairs_sum_for_modulus(modulus: int):
+    """Jitted (lo, hi)-pair canonicalise + modular column sum, cached per
+    modulus so repeat :func:`device_combine` calls reuse the compiled
+    executable instead of retracing (a fresh closure per call costs ~0.7 s
+    of jit overhead per chunk on this host)."""
+    ctx = LimbContext.create_add_only(modulus, L=4)
+    two64_minus_p = [
+        (int(((1 << 64) - modulus) >> (16 * j)) & 0xFFFF) for j in range(4)
+    ]
+
+    @jax.jit
+    def _pairs_sum(pairs):  # [C, d, 2] uint32 -> [d, 4] canonical limbs
+        lo, hi = pairs[..., 0], pairs[..., 1]
+        lanes = [lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16]
+        neg = (hi >> 31).astype(jnp.int32)  # 1 where the i64 was negative
+        out, borrow = [], jnp.zeros_like(neg)
+        for j in range(4):
+            t = lanes[j].astype(jnp.int32) - neg * two64_minus_p[j] - borrow
+            out.append((t & 0xFFFF).astype(jnp.uint32))
+            borrow = (t >> 31) & 1
+        x = jnp.stack(out, axis=-1)  # [C, d, 4] canonical
+        return ctx.sum_mod(x, axis=0)
+
+    return _pairs_sum
 
 
 def device_combine(modulus: int, share_vectors, chunk_size: int = 256) -> np.ndarray:
@@ -56,21 +84,7 @@ def device_combine(modulus: int, share_vectors, chunk_size: int = 256) -> np.nda
     import sys as _sys
 
     ctx = LimbContext.create_add_only(modulus, L=4)
-    two64_minus_p = [(int(((1 << 64) - modulus) >> (16 * j)) & 0xFFFF) for j in range(4)]
-
-    @partial(jax.jit, static_argnums=())
-    def _pairs_sum(pairs):  # [C, d, 2] uint32 -> [d, 4] canonical limbs
-        lo, hi = pairs[..., 0], pairs[..., 1]
-        lanes = [lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16]
-        neg = (hi >> 31).astype(jnp.int32)  # 1 where the i64 was negative
-        out, borrow = [], jnp.zeros_like(neg)
-        for j in range(4):
-            t = lanes[j].astype(jnp.int32) - neg * two64_minus_p[j] - borrow
-            out.append((t & 0xFFFF).astype(jnp.uint32))
-            borrow = (t >> 31) & 1
-        x = jnp.stack(out, axis=-1)  # [C, d, 4] canonical
-        return ctx.sum_mod(x, axis=0)
-
+    _pairs_sum = _pairs_sum_for_modulus(modulus)
     le = _sys.byteorder == "little"
     acc = None
 

@@ -103,7 +103,16 @@ class FullMasker:
             for m in masks:
                 if len(m) != d:
                     raise Invalid("mask dimension mismatch")
-                acc = trunc_add_mod(acc, np.asarray(m, dtype=np.int64), self.modulus)
+                m = np.asarray(m, dtype=np.int64)
+                # decrypted wire masks can carry any i64; pre-reduce
+                # out-of-domain vectors so trunc_add_mod stays exact
+                if m.size and not (
+                    int(m.min()) > -self.modulus and int(m.max()) < self.modulus
+                ):
+                    m = trunc_mod(np.asarray(m, dtype=object), self.modulus).astype(
+                        np.int64
+                    )
+                acc = trunc_add_mod(acc, m, self.modulus)
             return acc
         acc = np.zeros(d, dtype=object)
         for m in masks:

@@ -69,7 +69,18 @@ def _combine_fold(share_vectors, modulus: int) -> np.ndarray:
         for sv in share_vectors:
             if len(sv) != d:
                 raise Invalid("Wrong dimension")
-            acc = trunc_add_mod(acc, np.asarray(sv, dtype=np.int64), modulus)
+            sv = np.asarray(sv, dtype=np.int64)
+            # trunc_add_mod's exactness needs |values| < m; wire shares can
+            # carry any i64 a hostile participant encodes, so pre-reduce
+            # out-of-domain vectors (congruence-preserving; honest inputs
+            # never pay this)
+            if sv.size and not (
+                int(sv.min()) > -modulus and int(sv.max()) < modulus
+            ):
+                sv = trunc_mod(np.asarray(sv, dtype=object), modulus).astype(
+                    np.int64
+                )
+            acc = trunc_add_mod(acc, sv, modulus)
         return acc
     acc = np.zeros(d, dtype=object)
     for sv in share_vectors:

@@ -265,3 +265,30 @@ def test_decrypt_many_error_parity_malformed_varint():
     dec = ShareDecryptor(ek, dk)
     with pytest.raises(ValueError, match="malformed varint"):
         dec.decrypt_many(encs)
+
+
+def test_open_combine_long_stream_is_dimension_error():
+    """A WELL-FORMED stream of more than dim values is the protocol's
+    dimension error, not the codec's ValueError (the sequential combine
+    would raise Invalid('Wrong dimension') for the same job)."""
+    from sda_tpu import sodium
+    from sda_tpu import protocol as proto
+    from sda_tpu.client.crypto import ShareDecryptor
+    from sda_tpu.utils.varint import encode_varints
+
+    ek, dk = sodium.box_keypair()
+    encs = [
+        proto.Encryption(data=sodium.seal(encode_varints(np.arange(8, dtype=np.int64)), ek))
+        for _ in range(5)
+    ]
+    dec = ShareDecryptor(ek, dk)
+    if dec.open_combine(encs, 10_007, 8) is None:
+        pytest.skip("native library unavailable")
+    # dim+3 well-formed values: overflows the bounded decode, but the
+    # count-only rescan classifies it as a length problem
+    evil = list(encs)
+    evil[3] = proto.Encryption(
+        data=sodium.seal(encode_varints(np.arange(11, dtype=np.int64)), ek)
+    )
+    with pytest.raises(Invalid, match="dimension|Wrong"):
+        dec.open_combine(evil, 10_007, 8)

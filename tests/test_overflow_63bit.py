@@ -144,3 +144,25 @@ def test_full_masker_device_combine_parity():
     bad = masks[:3] + [masks[3][:-1]]
     with _pytest.raises(Invalid):
         FullMasker(P63, device_bulk_threshold=1).combine(bad)
+
+
+def test_combine_fold_hostile_out_of_domain_values():
+    """Wire shares outside (-p, p) — any i64 a hostile participant encodes —
+    still combine congruently (code-review r4 finding: the int64 fast fold
+    required in-domain inputs)."""
+    p = 433
+    sch = AdditiveScheme(share_count=3, modulus=p)
+    vecs = [np.array([1 << 62], dtype=np.int64) for _ in range(3)]
+    got = int(sch.combine(vecs)[0])
+    assert got % p == (3 * (1 << 62)) % p
+    # and at the 63-bit prime
+    sch2 = AdditiveScheme(share_count=2, modulus=P63)
+    vecs2 = [np.array([(1 << 63) - 5], dtype=np.int64), np.array([7], dtype=np.int64)]
+    got2 = int(sch2.combine(vecs2)[0])
+    assert got2 % P63 == (((1 << 63) - 5) + 7) % P63
+
+
+def test_full_masker_hostile_out_of_domain_masks():
+    m = FullMasker(433)
+    out = m.combine([np.array([1 << 62], dtype=np.int64)] * 2)
+    assert int(out[0]) % 433 == (2 * (1 << 62)) % 433
