@@ -238,7 +238,35 @@ def _bench_config2():
         file=sys.stderr,
     )
     print(f"# config 2 batched roofline: {json.dumps(repb)}", file=sys.stderr)
-    return rep, gfops, repb, gfopsb
+
+    # deeper serving batch: 512 jobs fills the lane grid properly (the
+    # 64-job batch still under-occupies it — see LATENCY_FLOOR.json for
+    # why single-job latency itself is floor-bound)
+    jobs_l = 512
+    nbp_l = jobs_l * lanes
+    sec8l = _make_planar_secrets(engine, jax.random.key(5), rows, nbp_l)
+    dtl, outl = _timeit(
+        lambda i: engine.aggregate_mxu8_kernel(
+            sec8l, jnp.asarray(i, dtype=jnp.int32), p_count=participants,
+            lanes=1024 if nbp_l % 1024 == 0 else lanes,
+        ),
+        iters=10,
+    )
+    _reveal_check_slice(engine, sec8l, outl, participants)
+    repl = roofline(
+        dtl,
+        **_mxu8_model(engine, participants, nbp_l, sec8l.size,
+                      engine.ctx.L * k * nbp_l * 4),
+    )
+    gfopsl = jobs_l * _fieldops(engine, participants) / dtl / 1e9
+    print(
+        f"# config 2 batched ({jobs_l} jobs/launch): {dtl*1e3:.3f} ms, "
+        f"{jobs_l*participants/dtl:.0f} aggregations/s, "
+        f"{gfopsl:.2f} Gfield-ops/s, fraction_of_sol "
+        f"{repl['fraction_of_sol']}",
+        file=sys.stderr,
+    )
+    return rep, gfops, repb, gfopsb, repl, gfopsl
 
 
 def _bench_config3():
@@ -570,7 +598,7 @@ def main():
         file=sys.stderr,
     )
     print(f"# roofline: {json.dumps(rep)}", file=sys.stderr)
-    rep2, gfops2, rep2b, gfops2b = _bench_config2()
+    rep2, gfops2, rep2b, gfops2b, rep2l, gfops2l = _bench_config2()
     rep3, gfops3 = _bench_config3()
     rep4, rate4 = _bench_config4_streaming(dimension)
     clerk = _bench_clerk_host()
@@ -595,6 +623,8 @@ def main():
                         "gfield_ops_s": round(gfops2, 1),
                         "batched64_gfield_ops_s": round(gfops2b, 1),
                         "batched64_fraction_of_sol": rep2b["fraction_of_sol"],
+                        "batched512_gfield_ops_s": round(gfops2l, 1),
+                        "batched512_fraction_of_sol": rep2l["fraction_of_sol"],
                     },
                     "config3_128bit": {
                         "fraction_of_sol": rep3["fraction_of_sol"],
