@@ -135,3 +135,16 @@ def test_fused_combine_congruent_to_sequential_fold():
         if fused is None:
             pytest.skip("native library unavailable")
         assert positive(seq, 433).tolist() == fused.tolist()
+
+
+def test_bulk_routing_falls_back_without_native(monkeypatch):
+    """With the native library unavailable, the bulk route degrades to the
+    sequential decrypt+fold instead of failing (open_combine returns None)."""
+    import sda_tpu.utils.varint as varint_mod
+
+    with with_service("memory") as service:
+        clerk, job, agg = _setup_job(service)
+        monkeypatch.setattr(varint_mod, "_NATIVE", None)
+        clerk.device_bulk_threshold = 1
+        result = clerk.process_clerking_job(job)
+        assert result.job == job.id
