@@ -292,3 +292,29 @@ def test_open_combine_long_stream_is_dimension_error():
     )
     with pytest.raises(Invalid, match="dimension|Wrong"):
         dec.open_combine(evil, 10_007, 8)
+
+
+def test_chacha_core_matches_public_djb_vectors():
+    """EXTERNAL ground truth for the ChaCha core: the first two keystream
+    blocks for the all-zero 256-bit key with zero counter, as published in
+    D. J. Bernstein's ChaCha specification test vectors (and reproduced in
+    countless test suites, e.g. the TLS ecosystem's zero-key cases).
+
+    rand 0.3's ChaChaRng is DJB ChaCha20 with the 128-bit block counter in
+    state words 12..15 (equivalent to 64-bit-counter + zero nonce for the
+    first 2^64 blocks), keystream read as little-endian u32 words — so a
+    byte-exact match here pins the whole core against a vector nobody in
+    this repo authored."""
+    from sda_tpu.chacha import ChaChaRng
+
+    r = ChaChaRng([0] * 8)
+    words = [r.next_u32() for _ in range(32)]
+    stream = b"".join(int(w).to_bytes(4, "little") for w in words)
+    assert stream[:64].hex() == (
+        "76b8e0ada0f13d90405d6ae55386bd28bdd219b8a08ded1aa836efcc8b770dc7"
+        "da41597c5157488d7724e03fb8d84a376a43b8f41518a11cc387b669b2ee6586"
+    )
+    assert stream[64:128].hex() == (
+        "9f07e7be5551387a98ba977c732d080dcb0f29a048e3656912c6533e32ee7aed"
+        "29b721769ce64e43d57133b074d839d531ed1f28510afb45ace10a1f4b794d6f"
+    )
