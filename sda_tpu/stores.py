@@ -72,6 +72,10 @@ class _MemoryKV(_KV):
         with self._lock:
             self._data.setdefault(ns, {})[key] = json.dumps(value)
 
+    def create(self, ns, key, value):
+        with self._lock:  # atomic get+compare+put under the threaded server
+            super().create(ns, key, value)
+
     def delete(self, ns, key):
         with self._lock:
             self._data.get(ns, {}).pop(key, None)
@@ -108,6 +112,10 @@ class _JsonDirKV(_KV):
             with open(tmp, "w") as f:
                 json.dump(value, f)
             os.replace(tmp, path)
+
+    def create(self, ns, key, value):
+        with self._lock:  # atomic get+compare+put under the threaded server
+            super().create(ns, key, value)
 
     def delete(self, ns, key):
         with self._lock:

@@ -56,6 +56,22 @@ class _MongoKV(_KV):
     def put(self, ns, key, value):
         self._coll(ns).update_one({"_k": key}, {"$set": {"v": value}}, upsert=True)
 
+    def create(self, ns, key, value):
+        """Atomic compare-on-conflict create: the unique ``_k`` index makes
+        ``insert_one`` the linearisation point, so two concurrent creates
+        with different values cannot both win (the base class's
+        get-then-put could lose the conflict under the threaded server)."""
+        import pymongo
+
+        from sda_tpu.utils.errors import Invalid
+
+        try:
+            self._coll(ns).insert_one({"_k": key, "v": value})
+        except pymongo.errors.DuplicateKeyError:
+            existing = self.get(ns, key)
+            if existing != value:
+                raise Invalid(f"conflicting create for {ns}/{key}")
+
     def delete(self, ns, key):
         self._coll(ns).delete_one({"_k": key})
 

@@ -61,16 +61,46 @@ def _resolve(expr, doc):
     return expr
 
 
+class _Errors:
+    """pymongo.errors stand-in (attribute access via the module object)."""
+
+    class PyMongoError(Exception):
+        pass
+
+    class DuplicateKeyError(PyMongoError):
+        pass
+
+
+errors = _Errors
+
+
 class Collection:
     def __init__(self, name):
         self.name = name
         self._docs: dict = {}
+        self._unique: set[str] = set()
         self._lock = threading.RLock()
 
     # ------------------------------------------------------- index / CRUD
 
     def create_index(self, field, unique=False, background=False):
+        if unique:
+            with self._lock:
+                self._unique.add(field)
         return field
+
+    def insert_one(self, doc):
+        with self._lock:
+            for field in self._unique:
+                val = _get_path(doc, field)
+                for other in self._docs.values():
+                    if _get_path(other, field) == val:
+                        raise _Errors.DuplicateKeyError(
+                            f"duplicate key: {field}={val!r}"
+                        )
+            doc = copy.deepcopy(doc)
+            doc.setdefault("_id", next(_counter))
+            self._docs[doc["_id"]] = doc
 
     def find_one(self, query):
         with self._lock:

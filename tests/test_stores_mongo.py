@@ -245,3 +245,31 @@ def test_default_transpose_is_lazy_per_clerk():
     assert [len(c) for c in cols] == [5, 5, 5]
     for ci, col in enumerate(cols):
         assert sorted(e.data for e in col) == [bytes([ci, pi]) for pi in range(5)]
+
+
+def test_create_contract_atomic_via_unique_index(mongo_kv):
+    """create() uses insert_one against the unique _k index as its
+    linearisation point (the base get-then-put could lose a concurrent
+    conflicting create): repeat-create with identical value is idempotent,
+    a conflicting value raises, and the winning document is unchanged."""
+    ns = "create/contract"
+    mongo_kv.create(ns, "k", {"a": 1})
+    mongo_kv.create(ns, "k", {"a": 1})  # idempotent retry
+    with pytest.raises(Invalid, match="conflicting create"):
+        mongo_kv.create(ns, "k", {"a": 2})
+    assert mongo_kv.get(ns, "k") == {"a": 1}
+    docs = list(mongo_kv._coll(ns).find({"_k": "k"}))
+    assert len(docs) == 1
+
+
+def test_insert_one_contract_duplicate_key(mongo_kv):
+    """Pin the pymongo behavior create() relies on: insert_one against a
+    unique index raises DuplicateKeyError and leaves the original doc."""
+    import pymongo
+
+    ns = "insert/contract"
+    coll = mongo_kv._coll(ns)
+    coll.insert_one({"_k": "x", "v": 1})
+    with pytest.raises(pymongo.errors.DuplicateKeyError):
+        coll.insert_one({"_k": "x", "v": 2})
+    assert [d["v"] for d in coll.find({"_k": "x"})] == [1]
