@@ -15,8 +15,13 @@ Run on any backend (CPU works; a TPU makes it fast):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+# runnable as `python examples/bulk_aggregation.py` from anywhere: the repo
+# root (this file's parent directory) is the import root for sda_tpu
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

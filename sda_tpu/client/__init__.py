@@ -41,7 +41,7 @@ __all__ = ["SdaClient", "RecipientOutput", "new_agent", "Filebased", "MemoryStor
 DEVICE_COMBINE_CROSSOVER = 20_000_000
 
 
-def _streamed_decrypt(decryptor, encryptions, chunk: int = 256):
+def _streamed_decrypt(decryptor, encryptions, expected_len=None, chunk: int = 256):
     """Yield decrypted share vectors chunk-by-chunk with one-chunk lookahead:
     while :func:`sda_tpu.engine.device_combine` accumulates chunk *i* on the
     accelerator, the native batch opener is already working on chunk *i+1*
@@ -51,7 +51,7 @@ def _streamed_decrypt(decryptor, encryptions, chunk: int = 256):
     from concurrent.futures import ThreadPoolExecutor
 
     encryptions = list(encryptions)
-    d = None
+    d = expected_len  # scheme-derived per-clerk length when the caller knows it
     with ThreadPoolExecutor(max_workers=1) as ex:
         pending = ex.submit(decryptor.decrypt_many, encryptions[:chunk])
         for start in range(0, len(encryptions), chunk):
@@ -325,7 +325,7 @@ class SdaClient:
 
                 combined = device_combine(
                     aggregation.modulus,
-                    _streamed_decrypt(decryptor, job.encryptions),
+                    _streamed_decrypt(decryptor, job.encryptions, share_len),
                 )
             else:
                 combined = decryptor.open_combine(

@@ -154,7 +154,7 @@ class ShareDecryptor:
             return [self.decrypt(e) for e in encryptions]
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=workers or min(32, n_cores)) as ex:
+        with ThreadPoolExecutor(max_workers=_default_workers(workers)) as ex:
             return list(ex.map(self.decrypt, encryptions, chunksize=32))
 
 

@@ -31,12 +31,14 @@ from sda_tpu.sharing import DeviceSchemeSpec
 __all__ = ["TpuAggregationEngine", "device_combine"]
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _pairs_sum_for_modulus(modulus: int):
     """Jitted (lo, hi)-pair canonicalise + modular column sum, cached per
     modulus so repeat :func:`device_combine` calls reuse the compiled
     executable instead of retracing (a fresh closure per call costs ~0.7 s
-    of jit overhead per chunk on this host)."""
+    of jit overhead per chunk on this host). Bounded: the modulus is
+    client-chosen per aggregation, so an unbounded cache would grow for
+    the life of a serving process under diverse (or hostile) moduli."""
     ctx = LimbContext.create_add_only(modulus, L=4)
     two64_minus_p = [
         (int(((1 << 64) - modulus) >> (16 * j)) & 0xFFFF) for j in range(4)

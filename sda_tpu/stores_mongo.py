@@ -65,12 +65,19 @@ class _MongoKV(_KV):
 
         from sda_tpu.utils.errors import Invalid
 
-        try:
-            self._coll(ns).insert_one({"_k": key, "v": value})
-        except pymongo.errors.DuplicateKeyError:
-            existing = self.get(ns, key)
-            if existing != value:
-                raise Invalid(f"conflicting create for {ns}/{key}")
+        for _ in range(4):
+            try:
+                self._coll(ns).insert_one({"_k": key, "v": value})
+                return
+            except pymongo.errors.DuplicateKeyError:
+                existing = self.get(ns, key)
+                if existing == value:
+                    return  # idempotent retry of the same create
+                if existing is not None:
+                    raise Invalid(f"conflicting create for {ns}/{key}")
+                # the winning doc was deleted between our failed insert and
+                # the read — the key is creatable again; retry the insert
+        raise Invalid(f"conflicting create for {ns}/{key}")
 
     def delete(self, ns, key):
         self._coll(ns).delete_one({"_k": key})

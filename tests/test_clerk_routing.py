@@ -148,3 +148,25 @@ def test_bulk_routing_falls_back_without_native(monkeypatch):
         clerk.device_bulk_threshold = 1
         result = clerk.process_clerking_job(job)
         assert result.job == job.id
+
+
+def test_streamed_decrypt_rejects_uniformly_wrong_length():
+    """A job where EVERY share vector has the wrong (but self-consistent)
+    length must fail on the device route too: the scheme-derived
+    expected_len is enforced, not just cross-vector consistency."""
+    from sda_tpu import sodium
+    from sda_tpu.client import _streamed_decrypt
+    from sda_tpu.client.crypto import ShareDecryptor
+    from sda_tpu.utils.errors import Invalid
+    from sda_tpu.utils.varint import encode_varints
+
+    ek, dk = sodium.box_keypair()
+    encs = [
+        proto.Encryption(data=sodium.seal(encode_varints(np.arange(9, dtype=np.int64)), ek))
+        for _ in range(4)
+    ]
+    dec = ShareDecryptor(ek, dk)
+    with pytest.raises(Invalid, match="Wrong dimension"):
+        list(_streamed_decrypt(dec, encs, expected_len=8, chunk=2))
+    # and the honest length passes
+    assert len(list(_streamed_decrypt(dec, encs, expected_len=9, chunk=2))) == 4
