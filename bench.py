@@ -366,8 +366,9 @@ def _bench_config4_streaming(dimension: int):
     total = p_chunk * n_chunks
     per = _mxu8_model(engine, p_chunk, nbp, chunk.size,
                       engine.ctx.L * n * nbp * 4, recon=False)
-    # inter-chunk canonical accumulation reads+writes the [L*n, NBP] sums
-    per["hbm_bytes"] += 3.0 * engine.ctx.L * n * nbp * 4
+    # in-kernel accumulation: each chunk launch reads the running [L*n, NBP]
+    # sums (aliased into its output) and writes them back
+    per["hbm_bytes"] += 2.0 * engine.ctx.L * n * nbp * 4
     agg = {key: v * n_chunks for key, v in per.items()}
     rep = roofline(dt, **agg)
     print(

@@ -447,15 +447,14 @@ class TpuAggregationEngine:
                     seed=seed, lanes=lanes,
                 )
 
-            @jax.jit
-            def _add_mod_planar_lm(a, b):  # [L16*n, NBP] u32 canonical
-                L = self.ctx.L
-                nrows = a.shape[0] // L
-                lanes_out = self.ctx.add_mod_lanes(
-                    [a[l * nrows : (l + 1) * nrows] for l in range(L)],
-                    [b[l * nrows : (l + 1) * nrows] for l in range(L)],
+            @partial(jax.jit, static_argnums=(3, 4), donate_argnums=(1,))
+            def _kernel8_combined_acc(sec8, acc, seed, p_count, lanes):
+                # accumulate-in-kernel streaming step: acc is donated (the
+                # pallas call aliases it to the output buffer)
+                return fused_share_combine_mxu8(
+                    mxu8, spec.share_matrix, sec8, p_count, k_, r_,
+                    seed=seed, lanes=lanes, acc_in=acc,
                 )
-                return jnp.concatenate(lanes_out, axis=0)
 
             @partial(jax.jit, static_argnums=(1,))
             def _reconstruct_planar8(comb, lanes):
@@ -496,12 +495,16 @@ class TpuAggregationEngine:
                     sec8 = chunk(i) if callable(chunk) else jnp.asarray(chunk)
                     if grid_size is None:
                         grid_size = sec8.shape[-1] // lanes
-                    part = _kernel8_combined(
-                        sec8,
-                        jnp.asarray(seed0 + grid_size * i, dtype=jnp.int32),
-                        p_chunk, lanes,
-                    )
-                    acc = part if acc is None else _add_mod_planar_lm(acc, part)
+                    seed_i = jnp.asarray(seed0 + grid_size * i, dtype=jnp.int32)
+                    if acc is None:
+                        acc = _kernel8_combined(sec8, seed_i, p_chunk, lanes)
+                    else:
+                        # accumulate inside the kernel (acc aliased to the
+                        # output): one launch per chunk, no separate add,
+                        # no extra accumulator HBM round trip
+                        acc = _kernel8_combined_acc(
+                            sec8, acc, seed_i, p_chunk, lanes
+                        )
                 if acc is None:
                     raise ValueError(
                         "aggregate_mxu8_kernel_streaming requires at least one chunk"

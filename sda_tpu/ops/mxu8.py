@@ -450,6 +450,28 @@ def _mxu8_kernel(
         out_ref[l * n_out : (l + 1) * n_out, :] = res[l]
 
 
+def _mxu8_kernel_acc(
+    mxu8, n, rand_cfg, n2, n_res1, n_res2,
+    seed_ref, consts_ref, bigs_ref, bigr_ref, big2_ref, c1_ref, c2_ref,
+    sec_ref, acc_ref, out_ref,
+):
+    """Streaming variant: adds this chunk's canonical result onto a running
+    accumulator (``acc_ref``, aliased to the output buffer) — one launch
+    per streamed chunk with no separate add kernel and no extra HBM round
+    trip for the accumulator."""
+    ctx = mxu8.ctx
+    res = _chunk_canonical(
+        mxu8, n, rand_cfg, n2, n_res1, n_res2,
+        consts_ref, bigs_ref, bigr_ref, big2_ref, c1_ref, c2_ref,
+        sec_ref[...], seed_ref[0] + pl.program_id(0),
+    )
+    n_out = n2 if n2 else n
+    prev = [acc_ref[l * n_out : (l + 1) * n_out, :] for l in range(ctx.L)]
+    summed = ctx.add_mod_lanes(prev, res)
+    for l in range(ctx.L):
+        out_ref[l * n_out : (l + 1) * n_out, :] = summed[l]
+
+
 def _mxu8_kernel_chunked(
     mxu8, n, rand_cfg, n2, n_res1, n_res2, n_chunks, grid_t,
     seed_ref, consts_ref, bigs_ref, bigr_ref, big2_ref, c1_ref, c2_ref,
@@ -503,6 +525,7 @@ def fused_share_combine_mxu8(
     reconstruct_matrix=None,  # optional [n, k2]: fuse the second modmat
     pg: int | None = None,
     n_chunks: int = 1,
+    acc_in=None,  # optional [L16*n_out, NBP] u32: running canonical sums
     interpret: bool = False,
 ):
     """Byte-limb fused MXU share+combine (+ optional fused reconstruct).
@@ -525,7 +548,15 @@ def fused_share_combine_mxu8(
     (with ``reconstruct_matrix``, by linearity of the reconstruction) only
     the final ``k2``-wide result ever reaches HBM. Total participants =
     ``n_chunks * p_count``.
+
+    ``acc_in``: running canonical sums for host-driven streaming (chunks
+    too large to stack in HBM): the kernel adds this chunk's result onto
+    ``acc_in`` in-place (the buffer is aliased to the output), replacing a
+    separate add launch and its accumulator round trip. Mutually exclusive
+    with ``n_chunks > 1``.
     """
+    if acc_in is not None and n_chunks != 1:
+        raise ValueError("acc_in accumulation requires n_chunks == 1")
     interpret = interpret or jax.default_backend() == "cpu"
     m = k + rand_count
     share_matrix = np.asarray(share_matrix, dtype=object)
@@ -611,7 +642,8 @@ def fused_share_combine_mxu8(
     grid_t = nbp // lanes
     if n_chunks == 1:
         kernel = functools.partial(
-            _mxu8_kernel, mxu8, n, rand_cfg, n2, n_res1, n_res2,
+            _mxu8_kernel_acc if acc_in is not None else _mxu8_kernel,
+            mxu8, n, rand_cfg, n2, n_res1, n_res2,
         )
         grid = (grid_t,)
         sec_spec = pl.BlockSpec(
@@ -638,29 +670,17 @@ def fused_share_combine_mxu8(
         )
         const_map = lambda t, c: (0, 0)  # noqa: E731
         scratch_shapes = [pltpu.VMEM((mxu8.ctx.L * n_out, lanes), jnp.uint32)]
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk consts
-            pl.BlockSpec(bigs.shape, const_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(bigr.shape, const_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(big2.shape, const_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(c1_arr.shape, const_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(c2_arr.shape, const_map, memory_space=pltpu.VMEM),
-            sec_spec,
-        ],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((mxu8.ctx.L * n_out, nbp), jnp.uint32),
-        compiler_params=pltpu.CompilerParams(
-            # large-P tiles (the epilogue amortizes per participant) need
-            # more than the 16 MB default scoped VMEM for double buffering
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        scratch_shapes=scratch_shapes,
-        interpret=interpret,
-    )(
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk consts
+        pl.BlockSpec(bigs.shape, const_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(bigr.shape, const_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(big2.shape, const_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(c1_arr.shape, const_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(c2_arr.shape, const_map, memory_space=pltpu.VMEM),
+        sec_spec,
+    ]
+    operands = [
         jnp.asarray([seed], dtype=jnp.int32),
         jnp.asarray(consts),
         jnp.asarray(bigs),
@@ -669,7 +689,27 @@ def fused_share_combine_mxu8(
         jnp.asarray(c1_arr),
         jnp.asarray(c2_arr),
         sec_planar,
-    )
+    ]
+    io_aliases = {}
+    if acc_in is not None:
+        in_specs.append(out_spec)  # acc block-maps exactly like the output
+        operands.append(acc_in)
+        io_aliases = {len(operands) - 1: 0}  # acc buffer becomes the output
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((mxu8.ctx.L * n_out, nbp), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            # large-P tiles (the epilogue amortizes per participant) need
+            # more than the 16 MB default scoped VMEM for double buffering
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        scratch_shapes=scratch_shapes,
+        input_output_aliases=io_aliases,
+        interpret=interpret,
+    )(*operands)
 
 
 def _big8_stage2(mxu8: Mxu8Context, rec, n: int, n2: int, n_res1: int,
