@@ -169,16 +169,20 @@ def main() -> int:
         chunks = [planar] * n_chunks  # same device buffer: isolates compute
 
         step_fn = pipe._mxu8_chunk_step_ext if ext else pipe._mxu8_chunk_step
+        step_acc = (
+            pipe._mxu8_chunk_step_ext_acc if ext else pipe._mxu8_chunk_step_acc
+        )
 
         def chunk_loop(seed0):
             acc = None
             for i in range(n_chunks):
                 # the pipeline scales seeds into disjoint per-shard windows
                 # internally; consecutive chunk indices are the right input
-                part = step_fn(
-                    chunks[i], jnp.asarray(seed0 * n_chunks + i, jnp.int32)
-                )
-                acc = part if acc is None else pipe._add_mod_sharded(acc, part)
+                seed_i = jnp.asarray(seed0 * n_chunks + i, jnp.int32)
+                if acc is None:
+                    acc = step_fn(chunks[i], seed_i)
+                else:
+                    acc = step_acc(chunks[i], acc, seed_i)
             return acc
 
         acc0 = jax.block_until_ready(chunk_loop(0))

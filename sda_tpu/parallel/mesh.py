@@ -294,7 +294,11 @@ class ShardedAggregationPipeline:
             L8 = mxu8.L8
             L16 = ctx.L
             pspec_planar = P(("p", "c"), "d")
-            pspec_partial8 = P(("p", "c"), None, "d", None)
+            # partial sums stay in the kernel's limb-major planar layout
+            # ([L16*n, NBP_loc] per shard, leading stacked shard axis), so
+            # the accumulate-in-kernel streaming step can alias them
+            # straight back into the next launch's output
+            pspec_partial8 = P(("p", "c"), None, "d")
 
             def _comb_to_limb_last(comb):  # [L16*n, NBP] -> [n, NBP, L16]
                 return jnp.transpose(
@@ -316,35 +320,55 @@ class ShardedAggregationPipeline:
                     rec.reshape(L16, k_, x.shape[1]), (2, 1, 0)
                 )  # [NBP_loc, k, L16]
 
-            def _mxu8_chunk_body(sec8_loc, seed, slots):
+            def _mxu8_chunk_body(sec8_loc, seed, slots, acc_loc=None):
                 idx = jax.lax.axis_index("p") * n_c + jax.lax.axis_index("c")
-                local_seed = seed + jnp.int32(1315423911) * idx.astype(jnp.int32)
                 p_loc = sec8_loc.shape[0] // (slots * L8)
                 lanes = min(512, sec8_loc.shape[1])
+                # disjoint per-(seed, shard, block) PRNG windows (same
+                # schedule as the 7-bit path): callers pass consecutive
+                # chunk indices
+                grid_n = jnp.int32(sec8_loc.shape[1] // lanes)
+                local_seed = (
+                    seed * jnp.int32(n_shards) + idx.astype(jnp.int32)
+                ) * grid_n
                 comb = fused_share_combine_mxu8(
                     mxu8, spec.share_matrix, sec8_loc, p_loc, k_, r_,
                     seed=local_seed, lanes=lanes,
+                    acc_in=None if acc_loc is None else acc_loc[0],
                 )
-                return _comb_to_limb_last(comb)[None]
+                return comb[None]
 
-            def _make_chunk_step8(with_prng):
+            def _make_chunk_step8(with_prng, with_acc=False):
                 slots = k_ if with_prng else k_ + r_
+                if with_acc:
+                    body = lambda s, acc, seed: _mxu8_chunk_body(  # noqa: E731
+                        s, seed, slots, acc_loc=acc
+                    )
+                    in_specs = (pspec_planar, pspec_partial8, P())
+                    donate = (1,)
+                else:
+                    body = lambda s, seed: _mxu8_chunk_body(s, seed, slots)  # noqa: E731
+                    in_specs = (pspec_planar, P())
+                    donate = ()
                 return jax.jit(
                     jax.shard_map(
-                        lambda s, seed: _mxu8_chunk_body(s, seed, slots),
+                        body,
                         mesh=mesh,
-                        in_specs=(pspec_planar, P()),
+                        in_specs=in_specs,
                         out_specs=pspec_partial8,
                         check_vma=False,
-                    )
+                    ),
+                    donate_argnums=donate,
                 )
 
             self._mxu8_chunk_step = _make_chunk_step8(True)
             self._mxu8_chunk_step_ext = _make_chunk_step8(False)
+            self._mxu8_chunk_step_acc = _make_chunk_step8(True, with_acc=True)
+            self._mxu8_chunk_step_ext_acc = _make_chunk_step8(False, with_acc=True)
             self.planar_sharding = NamedSharding(mesh, pspec_planar)
 
             def _finish_body8(acc_loc):
-                x = acc_loc[0]  # [n, NBP_loc, L16] this shard's partial sum
+                x = _comb_to_limb_last(acc_loc[0])  # [n, NBP_loc, L16]
                 x = psum_mod(ctx, x, "p")
                 x = psum_mod(ctx, x, "c")
                 return _recon_local(x, min(512, x.shape[1]))
@@ -381,12 +405,20 @@ class ShardedAggregationPipeline:
                 schedule is a benchmark decorrelation device only.
                 """
                 step = self._mxu8_chunk_step_ext if ext else self._mxu8_chunk_step
+                step_acc = (
+                    self._mxu8_chunk_step_ext_acc if ext else self._mxu8_chunk_step_acc
+                )
                 acc = None
                 for i, chunk in enumerate(chunks):
                     sec8 = chunk(i) if callable(chunk) else chunk
                     sec8 = self.shard_planar(sec8)
-                    part = step(sec8, jnp.asarray(seed0 + 7919 * i, jnp.int32))
-                    acc = part if acc is None else self._add_mod_sharded(acc, part)
+                    seed_i = jnp.asarray(seed0 + i, jnp.int32)
+                    if acc is None:
+                        acc = step(sec8, seed_i)
+                    else:
+                        # accumulate inside the kernel (acc aliased to the
+                        # launch's output): one launch per chunk
+                        acc = step_acc(sec8, acc, seed_i)
                 if acc is None:
                     raise ValueError(
                         "aggregate_mxu8_streaming requires at least one chunk"
