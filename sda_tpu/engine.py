@@ -587,3 +587,31 @@ class TpuAggregationEngine:
     def decode_shares(self, shares_limbs) -> np.ndarray:
         """``[..., n, L]`` -> object ints (for wire encoding per clerk)."""
         return self.ctx.decode(np.asarray(shares_limbs))
+
+    # ------------------------------------------------- lane-batch serving
+
+    @staticmethod
+    def concat_jobs_lanes(planar_jobs):
+        """Concatenate same-shape planar jobs along the lane (batch) axis.
+
+        The serving answer for small jobs (docs/SERVING.md): single-launch
+        latency is floor-bound (LATENCY_FLOOR.json), but per-lane
+        independence makes every job's result exact when many same-scheme
+        jobs share one launch. All jobs must have identical row counts
+        (same participant count and slot layout).
+        """
+        planar_jobs = list(planar_jobs)
+        rows = planar_jobs[0].shape[0]
+        if any(j.shape[0] != rows for j in planar_jobs):
+            raise ValueError("lane-batched jobs must share the planar row count")
+        return jnp.concatenate(planar_jobs, axis=1)
+
+    def split_jobs_lanes(self, out_batched, n_jobs: int):
+        """Undo :meth:`concat_jobs_lanes` on a kernel output ``[NBP_total,
+        n_out, L]``: returns ``n_jobs`` per-job views sliced to this
+        engine's ``nb`` batch rows."""
+        nbp_job = out_batched.shape[0] // n_jobs
+        return [
+            out_batched[i * nbp_job : i * nbp_job + self.nb]
+            for i in range(n_jobs)
+        ]

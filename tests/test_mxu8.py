@@ -330,3 +330,46 @@ def test_engine_chunked_entrypoint_matches_streaming():
         ext8_all, n_chunks, P, lanes=lanes
     )
     assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_lane_batched_jobs_exact_per_job():
+    """concat_jobs_lanes / split_jobs_lanes: N same-scheme jobs through ONE
+    launch reveal exactly what each job reveals alone (per-lane
+    independence — the small-job serving mode of docs/SERVING.md)."""
+    from sda_tpu.fields import find_special_prime_field
+
+    p, w2, w3 = find_special_prime_field(63, 8, 9)
+    engine = _engine(p, w2, w3, 21)
+    spec, ctx, mxu8 = engine.spec, engine.ctx, engine.mxu8
+    rng = np.random.default_rng(17)
+    lanes = 8
+    P, n_jobs = 2, 3
+    jobs = []
+    singles = []
+    for _ in range(n_jobs):
+        secrets = engine.encode_secrets(
+            rng.integers(0, 1 << 62, size=(P, engine.dimension))
+        )
+        ext = np.concatenate([secrets, engine.random_ext(P, rng=rng)], axis=2)
+        planar = planar8_from_batched(mxu8, jnp.asarray(ext), lanes)
+        jobs.append(planar)
+        out = fused_share_combine_mxu8(
+            mxu8, spec.share_matrix, planar, P, spec.secret_count,
+            spec.randomness_count, lanes=lanes,
+            reconstruct_matrix=spec.reconstruct_matrix, interpret=True,
+        )
+        singles.append(
+            np.asarray(batched_from_planar_lm(out, engine.nb, spec.secret_count))
+        )
+    batched = engine.concat_jobs_lanes(jobs)
+    outb = fused_share_combine_mxu8(
+        mxu8, spec.share_matrix, batched, P, spec.secret_count,
+        spec.randomness_count, lanes=lanes,
+        reconstruct_matrix=spec.reconstruct_matrix, interpret=True,
+    )
+    nbp_job = jobs[0].shape[1]
+    full = jnp.transpose(
+        outb.reshape(ctx.L, spec.secret_count, -1), (2, 1, 0)
+    )  # [NBP_total, k, L16]
+    for i, got in enumerate(engine.split_jobs_lanes(full, n_jobs)):
+        assert np.array_equal(np.asarray(got), singles[i])
