@@ -27,17 +27,15 @@ from sda_tpu.utils.errors import Invalid
 
 __all__ = ["SdaClient", "RecipientOutput", "new_agent", "Filebased", "MemoryStore", "Keystore"]
 
-# Clerk-combine routing crossover, in total share elements per job
-# (participants x per-clerk vector length). Below it the fused native
-# open+combine (one C++ call, shares never materialised) runs; above it the
-# job streams through the device accumulator. Measured
-# (tools/measure_combine_crossover.py -> CROSSOVER.json, r4): on this
-# 2-core host the fused path sustains 11-50M elements/s while the tunneled
-# device link caps the device route at ~0.2-2.5M, so the device NEVER won
-# here — the constant is set from the device path's two structural
-# advantages at scale (HBM-rate accumulation once the link is PCIe-class,
-# and O(chunk) peak plaintext via _streamed_decrypt for jobs too big to
-# decode-and-hold). Routing behavior is pinned by test_clerk_routing.py.
+# Bulk-job size (total share elements = participants x per-clerk vector
+# length) above which the streamed-device accumulate is used WHEN THE
+# NATIVE LIBRARY IS ABSENT. Measured (tools/measure_combine_crossover.py
+# -> CROSSOVER.json, r4): the fused native open+combine beat the device
+# route at EVERY size on this host (11-50M elements/s vs a
+# tunnel-link-bound 0.2-2.5M), so bulk routing always prefers it; the
+# device path is the fallback that still beats the pure-python sequential
+# fold on large jobs when libsda_native cannot load. Routing behavior is
+# pinned by test_clerk_routing.py.
 DEVICE_COMBINE_CROSSOVER = 20_000_000
 
 
@@ -302,14 +300,16 @@ class SdaClient:
         # FIXME at clerk.rs:71-72). Per-clerk share-vector length is fixed
         # by the scheme (batched.rs: ceil(d / input_size) batches), so the
         # job size is known before any box is opened:
-        #  - bulk jobs below DEVICE_COMBINE_CROSSOVER elements: ONE fused
-        #    native call opens + decodes + accumulates without ever
-        #    materialising the share matrix (ShareDecryptor.open_combine);
-        #  - above the crossover: device accumulate (device_combine), where
-        #    HBM bandwidth beats the host's 2 cores;
-        #  - no threshold configured (or >=2^63 modulus, or no native lib):
-        #    the reference's sequential decrypt-then-signed-fold,
-        #    bit-for-bit (clerk.rs:78-86).
+        #  - bulk jobs: ONE fused native call opens + decodes + accumulates
+        #    without ever materialising the share matrix
+        #    (ShareDecryptor.open_combine) — CROSSOVER.json shows it beats
+        #    the streamed-device route at every measured size;
+        #  - native library unavailable + job above
+        #    DEVICE_COMBINE_CROSSOVER elements: streamed decrypt + device
+        #    accumulate (still far ahead of the pure-python fold at scale);
+        #  - no threshold configured (or >=2^63 modulus): the reference's
+        #    sequential decrypt-then-signed-fold, bit-for-bit
+        #    (clerk.rs:78-86).
         share_len = -(-aggregation.vector_dimension
                       // aggregation.committee_sharing_scheme.input_size)
         est_elements = len(job.encryptions) * share_len
@@ -320,16 +320,15 @@ class SdaClient:
             and job.encryptions
             and aggregation.modulus < (1 << 63)
         ):
-            if est_elements >= DEVICE_COMBINE_CROSSOVER:
+            combined = decryptor.open_combine(
+                job.encryptions, aggregation.modulus, share_len
+            )
+            if combined is None and est_elements >= DEVICE_COMBINE_CROSSOVER:
                 from sda_tpu.engine import device_combine
 
                 combined = device_combine(
                     aggregation.modulus,
                     _streamed_decrypt(decryptor, job.encryptions, share_len),
-                )
-            else:
-                combined = decryptor.open_combine(
-                    job.encryptions, aggregation.modulus, share_len
                 )
         if combined is None:
             share_vectors = decryptor.decrypt_many(job.encryptions)

@@ -33,12 +33,13 @@ __all__ = ["TpuAggregationEngine", "device_combine"]
 
 @functools.lru_cache(maxsize=32)
 def _pairs_sum_for_modulus(modulus: int):
-    """Jitted (lo, hi)-pair canonicalise + modular column sum, cached per
-    modulus so repeat :func:`device_combine` calls reuse the compiled
-    executable instead of retracing (a fresh closure per call costs ~0.7 s
-    of jit overhead per chunk on this host). Bounded: the modulus is
-    client-chosen per aggregation, so an unbounded cache would grow for
-    the life of a serving process under diverse (or hostile) moduli."""
+    """``(ctx, jitted pairs-sum)`` for one modulus, cached so repeat
+    :func:`device_combine` calls reuse both the limb context and the
+    compiled executable instead of retracing (a fresh closure per call
+    costs ~0.7 s of jit overhead per chunk on this host). Bounded: the
+    modulus is client-chosen per aggregation, so an unbounded cache would
+    grow for the life of a serving process under diverse (or hostile)
+    moduli."""
     ctx = LimbContext.create_add_only(modulus, L=4)
     two64_minus_p = [
         (int(((1 << 64) - modulus) >> (16 * j)) & 0xFFFF) for j in range(4)
@@ -57,7 +58,7 @@ def _pairs_sum_for_modulus(modulus: int):
         x = jnp.stack(out, axis=-1)  # [C, d, 4] canonical
         return ctx.sum_mod(x, axis=0)
 
-    return _pairs_sum
+    return ctx, _pairs_sum
 
 
 def device_combine(modulus: int, share_vectors, chunk_size: int = 256) -> np.ndarray:
@@ -85,8 +86,7 @@ def device_combine(modulus: int, share_vectors, chunk_size: int = 256) -> np.nda
     """
     import sys as _sys
 
-    ctx = LimbContext.create_add_only(modulus, L=4)
-    _pairs_sum = _pairs_sum_for_modulus(modulus)
+    ctx, _pairs_sum = _pairs_sum_for_modulus(modulus)
     le = _sys.byteorder == "little"
     acc = None
 
@@ -432,6 +432,18 @@ class TpuAggregationEngine:
                 )
                 return batched_from_planar_lm(rec, self.nb, k_)
 
+            @partial(jax.jit, static_argnums=(2, 3))
+            def _kernel8_raw(sec8, seed, p_count, lanes):
+                # untruncated limb-major output [L*k, NBP] — the lane-batch
+                # serving entry point splits it per job
+                return fused_share_combine_mxu8(
+                    mxu8, spec.share_matrix, sec8, p_count, k_, r_,
+                    seed=seed, lanes=lanes,
+                    reconstruct_matrix=spec.reconstruct_matrix,
+                )
+
+            self._kernel8_raw = _kernel8_raw
+
             def _aggregate_mxu8_kernel(sec8, seed, p_count, lanes=1024):
                 """Full share+combine+reconstruct in ONE byte-limb kernel
                 dispatch; ``sec8`` from :meth:`planar8_secrets`; returns
@@ -597,21 +609,41 @@ class TpuAggregationEngine:
         The serving answer for small jobs (docs/SERVING.md): single-launch
         latency is floor-bound (LATENCY_FLOOR.json), but per-lane
         independence makes every job's result exact when many same-scheme
-        jobs share one launch. All jobs must have identical row counts
-        (same participant count and slot layout).
+        jobs share one launch. All jobs must have IDENTICAL shapes (same
+        participant count, slot layout, and lane padding) — a width
+        mismatch would make the uniform per-job split slice across job
+        boundaries, so it is rejected here.
         """
         planar_jobs = list(planar_jobs)
-        rows = planar_jobs[0].shape[0]
-        if any(j.shape[0] != rows for j in planar_jobs):
-            raise ValueError("lane-batched jobs must share the planar row count")
+        shape = planar_jobs[0].shape
+        if any(j.shape != shape for j in planar_jobs):
+            raise ValueError("lane-batched jobs must share the planar shape")
         return jnp.concatenate(planar_jobs, axis=1)
 
-    def split_jobs_lanes(self, out_batched, n_jobs: int):
-        """Undo :meth:`concat_jobs_lanes` on a kernel output ``[NBP_total,
-        n_out, L]``: returns ``n_jobs`` per-job views sliced to this
-        engine's ``nb`` batch rows."""
-        nbp_job = out_batched.shape[0] // n_jobs
+    def aggregate_mxu8_kernel_jobs(
+        self, sec8_batched, seed, p_count: int, n_jobs: int, lanes: int = 1024
+    ):
+        """Run ``n_jobs`` lane-concatenated jobs (from
+        :meth:`concat_jobs_lanes`) through ONE fused kernel launch and
+        return one ``[nb, k, L16]`` reveal-ready tensor per job.
+
+        This is the supported way to consume a lane batch: the plain
+        ``aggregate_mxu8_kernel`` truncates its output to the first job's
+        ``nb`` rows, so its result cannot be split per job.
+        """
+        from sda_tpu.ops.mxu8 import fused_share_combine_mxu8
+
+        nbp_total = sec8_batched.shape[1]
+        if nbp_total % n_jobs:
+            raise ValueError("batched lane width must divide evenly into jobs")
+        nbp_job = nbp_total // n_jobs
+        spec = self.spec
+        rec = self._kernel8_raw(sec8_batched, jnp.asarray(seed, jnp.int32),
+                                p_count, lanes)
+        # limb-major [L*k, NBP_total] -> [NBP_total, k, L], then per-job
+        # nbp_job-strided slices truncated to this engine's nb rows
+        k = spec.secret_count
+        full = jnp.transpose(rec.reshape(self.ctx.L, k, nbp_total), (2, 1, 0))
         return [
-            out_batched[i * nbp_job : i * nbp_job + self.nb]
-            for i in range(n_jobs)
+            full[i * nbp_job : i * nbp_job + self.nb] for i in range(n_jobs)
         ]

@@ -54,11 +54,15 @@ __all__ = ["AdditiveScheme", "PackedShamirScheme", "DeviceSchemeSpec"]
 def _combine_fold(share_vectors, modulus: int) -> np.ndarray:
     """Clerk-side combine: sequential signed fold of combiner.rs:20-27.
 
-    The wire-level representative matches the reference bit-for-bit.
-    Exact in int64 for any ``modulus < 2**63`` via
-    :func:`sda_tpu.fields.trunc_add_mod` (a plain int64 fold wraps at
-    63-bit production primes); >63-bit moduli fall back to python-int
-    (object) arithmetic.
+    For shares in the protocol's trunc domain ``(-m, m)`` — everything an
+    honest participant produces — the wire-level representative matches
+    the reference bit-for-bit. Out-of-domain i64 values (hostile wire)
+    are pre-reduced before folding, which preserves congruence mod m but
+    may pick a different representative than Rust's wrapping fold would
+    for the same adversarial bytes. Exact in int64 for any
+    ``modulus < 2**63`` via :func:`sda_tpu.fields.trunc_add_mod` (a plain
+    int64 fold wraps at 63-bit production primes); >63-bit moduli fall
+    back to python-int (object) arithmetic.
     """
     share_vectors = list(share_vectors)
     if not share_vectors:
@@ -164,7 +168,9 @@ class AdditiveScheme:
         """Clerk-side combine: element-wise modular sum across participants.
 
         Reproduces the sequential signed fold of combiner.rs:20-27 so the
-        wire-level representative matches the reference bit-for-bit.
+        wire-level representative matches the reference bit-for-bit for
+        in-domain shares (see :func:`_combine_fold` for the hostile-wire
+        caveat).
         """
         return _combine_fold(share_vectors, self.modulus)
 

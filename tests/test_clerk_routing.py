@@ -101,14 +101,32 @@ def test_routing_fused_below_crossover(monkeypatch):
         assert calls["fused"] == 1 and calls["device"] == 0
 
 
-def test_routing_device_above_crossover(monkeypatch):
+def test_routing_device_fallback_without_native_above_crossover(monkeypatch):
+    """The streamed-device route is the no-native fallback for big jobs:
+    fused is always preferred when available (CROSSOVER.json showed it
+    winning at every size), so the device fires only when open_combine
+    cannot run."""
+    with with_service("memory") as service:
+        clerk, job, agg = _setup_job(service)
+        calls = _spy(monkeypatch, clerk)
+        monkeypatch.setattr(
+            ShareDecryptor, "open_combine",
+            lambda self, encs, modulus, dim, workers=None: None,
+        )
+        clerk.device_bulk_threshold = 1
+        monkeypatch.setattr(client_mod, "DEVICE_COMBINE_CROSSOVER", 10)
+        clerk.process_clerking_job(job)
+        assert calls["device"] == 1
+
+
+def test_routing_fused_preferred_even_above_crossover(monkeypatch):
     with with_service("memory") as service:
         clerk, job, agg = _setup_job(service)
         calls = _spy(monkeypatch, clerk)
         clerk.device_bulk_threshold = 1
         monkeypatch.setattr(client_mod, "DEVICE_COMBINE_CROSSOVER", 10)
         clerk.process_clerking_job(job)
-        assert calls["device"] == 1 and calls["fused"] == 0
+        assert calls["fused"] == 1 and calls["device"] == 0
 
 
 def test_fused_combine_congruent_to_sequential_fold():

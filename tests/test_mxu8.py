@@ -362,14 +362,10 @@ def test_lane_batched_jobs_exact_per_job():
             np.asarray(batched_from_planar_lm(out, engine.nb, spec.secret_count))
         )
     batched = engine.concat_jobs_lanes(jobs)
-    outb = fused_share_combine_mxu8(
-        mxu8, spec.share_matrix, batched, P, spec.secret_count,
-        spec.randomness_count, lanes=lanes,
-        reconstruct_matrix=spec.reconstruct_matrix, interpret=True,
-    )
-    nbp_job = jobs[0].shape[1]
-    full = jnp.transpose(
-        outb.reshape(ctx.L, spec.secret_count, -1), (2, 1, 0)
-    )  # [NBP_total, k, L16]
-    for i, got in enumerate(engine.split_jobs_lanes(full, n_jobs)):
+    # the supported serving entry point: one launch, per-job reveal tensors
+    outs = engine.aggregate_mxu8_kernel_jobs(batched, 0, P, n_jobs, lanes=lanes)
+    for i, got in enumerate(outs):
         assert np.array_equal(np.asarray(got), singles[i])
+    # shape mismatches are rejected, not silently mis-sliced
+    with pytest.raises(ValueError, match="share the planar shape"):
+        engine.concat_jobs_lanes([jobs[0], jobs[1][:, : lanes // 2]])
