@@ -104,7 +104,9 @@ class ShareDecryptor:
             return None
         staged = _stage_boxes(encryptions)
         if staged is None:
-            return np.zeros(0, dtype=np.int64)
+            # empty job: the additive identity at the declared dimension
+            # (the documented contract — a combined dim-length vector)
+            return np.zeros(dim, dtype=np.int64)
         blob, offs, count = staged
         combined = np.empty(dim, dtype=np.int64)
         fail = ctypes.c_size_t(0)

@@ -97,9 +97,8 @@ class Mxu8Context:
     ``L8``: bytes per canonical element (= ``2 * ctx.L``, the 16-bit limbs
     split in half); ``chunk8``: bytes per canonical-by-construction chunk
     (``2^(8*chunk8) <= p``); ``L16r``: u16 randomness limbs per sharing-
-    randomness slot — minimal fold width for pseudo-Mersenne moduli
-    (bias ``~c/2^e``, guard bits provably useless there — see
-    :meth:`create`), ``p`` bits + 64 guard bits otherwise.
+    randomness slot (fold width, see :meth:`create` for the bias law and
+    the accepted trade-off at the default ``rand_fold_k=1``).
     """
 
     ctx: LimbContext
@@ -109,7 +108,7 @@ class Mxu8Context:
     special: tuple[int, int] | None = None  # (e, c) when p = 2^e - c
 
     @classmethod
-    def create(cls, ctx: LimbContext) -> "Mxu8Context":
+    def create(cls, ctx: LimbContext, rand_fold_k: int = 1) -> "Mxu8Context":
         p = ctx.p
         if p.bit_length() <= _W8:
             raise ValueError("modulus too small for byte-limb chunking")
@@ -119,17 +118,31 @@ class Mxu8Context:
         # the per-half products in u32, and bit e must live inside the lanes
         special = (e, c) if c < (1 << 14) and e < _W16 * ctx.L else None
         # Randomness-fold width. Folding a uniform b-bit draw mod p has
-        # total-variation bias rem*(p-rem)/(p*2^b) with rem = 2^b mod p.
-        # For pseudo-Mersenne p = 2^e - c, rem = c*2^(b-e), so the bias is
-        # ~c/2^e REGARDLESS of b — extra guard bits buy nothing (only
-        # rejection sampling would) — and the minimal fold width b = 16*L
-        # achieves the optimum (~2^-53 at the 63-bit production prime,
-        # ~2^-116 at the 128-bit one). Generic primes keep 64 guard bits
-        # for the standard rem/2^b <= p/2^b <= 2^-64 bound.
+        # total-variation bias ~rem/2^b with rem = 2^b mod p. For
+        # pseudo-Mersenne p = 2^e - c, repeated reduction 2^e = c (mod p)
+        # gives rem = c^j * 2^(b - j*e) for the largest j with
+        # c^j * 2^(b-j*e) < p — so the bias is a STAIRCASE in b: it stays
+        # ~c/2^e for all b in [e, 2e - log2(c)), then drops to ~(c/2^e)^2,
+        # and in general e-sized width steps SQUARE the bias down (it is
+        # NOT independent of b; only the plateau within each step is).
+        # Default rand_fold_k=1 takes the minimal width b = k*e rounded up
+        # to u16 limbs, an explicit accepted trade-off: bias ~c/2^e
+        # (~2^-53 at the 63-bit production prime, ~2^-116 at the 128-bit
+        # one), which halves the PRNG + accumulate traffic vs the 2e-bit
+        # width. This path generates device-trust benchmark/serving
+        # sharing randomness only — host-CSPRNG randomness (the protocol
+        # security path) never uses it. rand_fold_k=2 restores b >= 2e
+        # (bias ~(c/2^e)^2 ~ 2^-106 at 63 bits) at double the PRNG cost.
+        # Generic primes keep 64 guard bits for the standard
+        # rem/2^b <= p/2^b <= 2^-64 bound.
+        if rand_fold_k < 1:
+            raise ValueError("rand_fold_k must be >= 1")
         if special is not None:
-            L16r = -(-(e + 1) // _W16)
+            L16r = -(-(rand_fold_k * e + 1) // _W16)
         else:
-            L16r = -(-(p.bit_length() + 64) // _W16)
+            L16r = -(-(p.bit_length() + 64) // _W16) + (rand_fold_k - 1) * (
+                -(-p.bit_length() // _W16)
+            )
         return cls(
             ctx=ctx,
             L8=2 * ctx.L,

@@ -122,12 +122,18 @@ class ShardedAggregationPipeline:
                 # collision-free per-(seed, shard, block) PRNG offsets: the
                 # in-kernel offset is seed + program_id (< grid_n), so give
                 # every shard a disjoint grid_n-wide window and every seed a
-                # disjoint n_shards*grid_n-wide window (consecutive caller
-                # seeds never overlap until int32 wrap exhausts 2^32/stride)
-                grid_n = jnp.int32(sec7_loc.shape[1] // lanes)
+                # disjoint n_shards*grid_n-wide window. The caller seed is
+                # folded into [0, 2^31 // stride) FIRST (static arithmetic,
+                # shapes are known at trace time), so a large e.g.
+                # time-derived seed can never wrap int32 and silently
+                # re-overlap windows; distinct seeds stay window-disjoint
+                # up to that (documented) period.
+                grid_n = sec7_loc.shape[1] // lanes
+                windows = max(1, (1 << 31) // (n_shards * grid_n))
                 local_seed = (
-                    seed * jnp.int32(n_shards) + idx.astype(jnp.int32)
-                ) * grid_n
+                    (seed % jnp.int32(windows)) * jnp.int32(n_shards)
+                    + idx.astype(jnp.int32)
+                ) * jnp.int32(grid_n)
                 # slot count (k vs k+r) is auto-detected from the row count:
                 # k slots -> on-chip PRNG randomness, k+r -> caller-supplied
                 comb16 = fused_share_combine_mxu(
@@ -198,12 +204,15 @@ class ShardedAggregationPipeline:
                 idx = jax.lax.axis_index("p") * n_c + jax.lax.axis_index("c")
                 p_loc = sec7_loc.shape[0] // (slots * L7)
                 lanes = min(512, sec7_loc.shape[1])
-                # same disjoint-window seed schedule as _mxu_local: callers
-                # pass consecutive chunk indices, not pre-scaled seeds
-                grid_n = jnp.int32(sec7_loc.shape[1] // lanes)
+                # same disjoint-window seed schedule as _mxu_local (incl.
+                # the int32-wrap-safe fold): callers pass consecutive chunk
+                # indices, not pre-scaled seeds
+                grid_n = sec7_loc.shape[1] // lanes
+                windows = max(1, (1 << 31) // (n_shards * grid_n))
                 local_seed = (
-                    seed * jnp.int32(n_shards) + idx.astype(jnp.int32)
-                ) * grid_n
+                    (seed % jnp.int32(windows)) * jnp.int32(n_shards)
+                    + idx.astype(jnp.int32)
+                ) * jnp.int32(grid_n)
                 comb16 = fused_share_combine_mxu(
                     mxu, spec.share_matrix, sec7_loc, p_loc,
                     k_, r_, seed=local_seed, lanes=lanes, out7=False,

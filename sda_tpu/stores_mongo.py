@@ -77,7 +77,9 @@ class _MongoKV(_KV):
                     raise Invalid(f"conflicting create for {ns}/{key}")
                 # the winning doc was deleted between our failed insert and
                 # the read — the key is creatable again; retry the insert
-        raise Invalid(f"conflicting create for {ns}/{key}")
+        # retries exhausted without ever observing a conflicting value:
+        # that is delete/create churn, not a compare-on-conflict failure
+        raise Invalid(f"create contention for {ns}/{key}, retry")
 
     def delete(self, ns, key):
         self._coll(ns).delete_one({"_k": key})

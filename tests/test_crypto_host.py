@@ -218,6 +218,21 @@ def test_open_combine_fused_matches_sequential_fold():
     assert (got >= 0).all() and (got < p).all()
 
 
+def test_open_combine_empty_job_returns_dim_zeros():
+    """An empty encryption list is the additive identity at the declared
+    dimension — not a zero-length vector (advisor r4: direct users got a
+    silently wrong-shaped result)."""
+    from sda_tpu import sodium
+    from sda_tpu.client.crypto import ShareDecryptor
+
+    ek, dk = sodium.box_keypair()
+    got = ShareDecryptor(ek, dk).open_combine([], 10_007, 9)
+    if got is None:
+        pytest.skip("native library unavailable")
+    assert got.shape == (9,) and got.dtype == np.int64
+    assert not got.any()
+
+
 def test_open_combine_error_parity():
     from sda_tpu import sodium
     from sda_tpu import protocol as proto

@@ -135,7 +135,10 @@ def test_randsum_matrix_alignment(engine):
     mapping, the field->slot/limb indexing, padding-field handling, and the
     bias constants — none of which a reveal-level test can see.
     """
-    spec, ctx, mxu8 = engine.spec, engine.ctx, engine.mxu8
+    _check_randsum_algebra(engine.spec, engine.ctx, engine.mxu8)
+
+
+def _check_randsum_algebra(spec, ctx, mxu8):
     p = ctx.p
     k, r, n = spec.secret_count, spec.randomness_count, spec.share_count
     L8, L16r = mxu8.L8, mxu8.L16r
@@ -179,6 +182,36 @@ def test_randsum_matrix_alignment(engine):
     assert got == direct
     # and the bias constant matches its definition
     assert np.array_equal(np.asarray(C), 128 * e.sum(axis=0))
+
+
+def test_rand_fold_width_staircase():
+    """The PRNG fold-bias staircase (advisor r4): for pseudo-Mersenne
+    ``p = 2^e - c``, ``rem = 2^b mod p`` is NOT flat in the fold width b —
+    it plateaus at ``~c*2^(b-e)`` (bias ~c/2^e) until ``b >= 2e - log2 c``,
+    then drops to ``~(c/2^e)^2``. ``rand_fold_k`` selects the step:
+    k=1 (default, documented ~2^-53 trade-off) vs k=2 (~2^-106).
+    The wider context must keep the randomness-sum algebra exact."""
+    from fractions import Fraction
+
+    from sda_tpu.fields import find_special_prime_field
+
+    p, w2, w3 = find_special_prime_field(63, 8, 9)
+    ctx = LimbContext.create(p)
+    m1 = Mxu8Context.create(ctx)
+    m2 = Mxu8Context.create(ctx, rand_fold_k=2)
+    e, c = m1.special
+    assert (e, c) == (63, (1 << 63) - p)
+    assert m1.L16r == 4 and m2.L16r == 8  # b = 64 / 128 bits
+    # exact staircase values: rem(64) = 2c (bias ~c/2^e), rem(128) = 4c^2
+    # (bias exactly (c/2^e)^2) — e-sized width steps square the bias
+    assert pow(2, 16 * m1.L16r, p) == 2 * c
+    assert pow(2, 16 * m2.L16r, p) == 4 * c * c
+    assert Fraction(4 * c * c, 1 << 128) == Fraction(c, 1 << e) ** 2
+    # the k=2 width flows through the summed-randomness operand unchanged
+    scheme = PackedShamirScheme(3, 8, 4, p, w2, w3)
+    _check_randsum_algebra(scheme.device_spec(), ctx, m2)
+    with pytest.raises(ValueError):
+        Mxu8Context.create(ctx, rand_fold_k=0)
 
 
 def test_accumulator_bound_rejected():

@@ -262,6 +262,30 @@ def test_create_contract_atomic_via_unique_index(mongo_kv):
     assert len(docs) == 1
 
 
+def test_create_contention_distinct_from_conflict(mongo_kv):
+    """Retry exhaustion under delete/create churn (the key vanishes between
+    every failed insert and the read-back) reports contention, not a
+    compare-on-conflict protocol failure (advisor r4)."""
+    ns = "create/churn"
+    coll = mongo_kv._coll(ns)
+    real_insert = coll.insert_one
+
+    def churny_insert(doc):
+        import pymongo
+
+        # simulate another writer winning then deleting before our read
+        real_insert(dict(doc))
+        coll.delete_one({"_k": doc["_k"]})
+        raise pymongo.errors.DuplicateKeyError("duplicate key")
+
+    coll.insert_one = churny_insert
+    try:
+        with pytest.raises(Invalid, match="contention.*retry"):
+            mongo_kv.create(ns, "k", {"a": 1})
+    finally:
+        coll.insert_one = real_insert
+
+
 def test_insert_one_contract_duplicate_key(mongo_kv):
     """Pin the pymongo behavior create() relies on: insert_one against a
     unique index raises DuplicateKeyError and leaves the original doc."""

@@ -106,6 +106,36 @@ def test_reconstruct_limit_enforced_like_tss():
     assert scheme.reconstruction_threshold == 7  # t + k (crypto.rs:151)
 
 
+def test_every_threshold_subset_reveals_identically():
+    """Sweep EVERY (t+k)-subset of the 8 shares at the reference's p=433
+    vector (full_loop.rs:57-64): all C(8,7)=8 threshold subsets (and the
+    full set) must reconstruct the same aggregate through BOTH our Lagrange
+    subset path and the independent oracle — bounding the secrets-at-
+    omega^1..k point-convention risk (docs/PROTOCOL.md §interop note): if
+    the convention were wrong, subsets could not all agree with the sum."""
+    from itertools import combinations
+
+    scheme = PackedShamirScheme(**P433)
+    op = _oracle_params(scheme)
+    rng = np.random.default_rng(13)
+    p = scheme.prime_modulus
+    k, t, n = scheme.secret_count, scheme.privacy_threshold, scheme.share_count
+    # aggregate of several participants' sharings (the protocol's case)
+    parts = [( _rand_elems(rng, p, k), _rand_elems(rng, p, t)) for _ in range(4)]
+    sharings = [oracle_share(s, r, **op) for s, r in parts]
+    combined = [sum(sh[i] for sh in sharings) % p for i in range(n)]
+    want = [sum(s[j] for s, _ in parts) % p for j in range(k)]
+    batches = np.array(combined, dtype=object).reshape(n, 1)
+    subsets = list(combinations(range(n), t + k)) + [tuple(range(n))]
+    assert len(subsets) == 9
+    for subset in subsets:
+        got = scheme.reconstruct([(i, batches[i]) for i in subset], dimension=k)
+        assert [int(x) for x in got] == want, f"subset {subset} diverges"
+        assert oracle_reconstruct(
+            list(subset), [combined[i] for i in subset], **op
+        ) == want, f"oracle subset {subset} diverges"
+
+
 def test_linearity_matches_aggregated_reveal():
     """Sum of two sharings reconstructs to the sum — the property clerks use."""
     scheme = PackedShamirScheme(**P433)
