@@ -102,11 +102,16 @@ class SdaClient:
         keystore: Keystore,
         service: SdaService,
         device_bulk_threshold: int | None = None,
+        routing=None,
     ):
         self.agent = agent
         self.crypto = CryptoModule(keystore)
         self.service = service
         self.device_bulk_threshold = device_bulk_threshold
+        # measured host-vs-device policy for the masker/fallback bulk
+        # decisions (sda_tpu.routing.RoutingPolicy); None -> lazily built
+        # from the probe when a bulk decision actually arises
+        self.routing = routing
         self._engines: dict = {}
 
     def _bulk_engine(self, scheme, dimension: int):
@@ -162,6 +167,15 @@ class SdaClient:
             out = modmat(engine.ctx, limbs, jnp.asarray(engine.ctx.encode_mont(mat)))
         vals = engine.decode_output(np.asarray(out))
         return np.array([int(v) for v in vals], dtype=np.int64)
+
+    def _fallback_wants_device(self, est_elements: int) -> bool:
+        """No-native-library clerk fallback: measured link-vs-fold decision
+        when a routing policy is present; the static
+        ``DEVICE_COMBINE_CROSSOVER`` constant otherwise (kept so the
+        policy-free configuration keeps its r4-pinned behavior)."""
+        if self.routing is not None:
+            return self.routing.clerk_fallback_combine(est_elements) == "device"
+        return est_elements >= DEVICE_COMBINE_CROSSOVER
 
     # ------------------------------------------------------- maintenance
 
@@ -323,7 +337,7 @@ class SdaClient:
             combined = decryptor.open_combine(
                 job.encryptions, aggregation.modulus, share_len
             )
-            if combined is None and est_elements >= DEVICE_COMBINE_CROSSOVER:
+            if combined is None and self._fallback_wants_device(est_elements):
                 from sda_tpu.engine import device_combine
 
                 combined = device_combine(
@@ -404,7 +418,8 @@ class SdaClient:
         else:
             decrypted_masks = decryptor.decrypt_many(result.recipient_encryptions)
             mask_combiner = self.crypto.new_secret_masker(
-                aggregation.masking_scheme, self.device_bulk_threshold
+                aggregation.masking_scheme, self.device_bulk_threshold,
+                routing=self.routing,
             )
             mask = mask_combiner.combine(decrypted_masks)
 

@@ -329,8 +329,11 @@ class CryptoModule:
     # ----------------------------------------------------------- schemes
 
     @staticmethod
-    def new_secret_masker(scheme, device_bulk_threshold: int | None = None):
-        return masker_for_scheme(scheme, device_bulk_threshold=device_bulk_threshold)
+    def new_secret_masker(scheme, device_bulk_threshold: int | None = None,
+                          routing=None):
+        return masker_for_scheme(
+            scheme, device_bulk_threshold=device_bulk_threshold, routing=routing
+        )
 
     @staticmethod
     def new_share_generator(scheme):

@@ -192,11 +192,19 @@ def expand_masks_device(seed_words, dimension: int, modulus: int, rows: int = 8,
 
 
 def combine_masks_device(seed_words, dimension: int, modulus: int, rows: int = 8,
-                         interpret: bool = False):
+                         interpret: bool = False, fixup_host: bool = True):
     """Recipient-side combine: fold all participants' masks mod m.
 
     Returns (combined mask ``[d]`` as canonical python ints, list of seed
-    indices needing the exact host fallback due to rejection skips).
+    indices whose streams hit a gen_range rejection). With ``fixup_host``
+    (default) the combined mask is ALREADY exact: the device's no-skip
+    masks for just the affected seeds are subtracted and the exact host
+    expansion (which skips rejected draws, :mod:`sda_tpu.chacha`) of those
+    same seeds is added back — per-bad-seed cost, not an all-seeds redo
+    (rejection probability is ~m/2^64 per draw, so ``bad`` is expected
+    empty; the fix-up path is pinned by a forced-rejection modulus in
+    tests/test_chacha_device.py). With ``fixup_host=False`` the caller
+    owns the (device-expansion, no-skip) semantics for the bad seeds.
     """
     ctx = LimbContext.create(modulus)
     masks, rejects = expand_masks_device(
@@ -204,4 +212,17 @@ def combine_masks_device(seed_words, dimension: int, modulus: int, rows: int = 8
     )
     combined = ctx.sum_mod(masks, axis=0)
     bad = [int(i) for i in np.nonzero(np.asarray(rejects))[0]]
-    return ctx.decode(np.asarray(combined)), bad
+    out = np.asarray(
+        [int(v) for v in ctx.decode(np.asarray(combined))], dtype=object
+    )
+    if bad and fixup_host:
+        from sda_tpu import chacha
+
+        wrong = np.asarray(ctx.decode(np.asarray(masks[np.asarray(bad)])))
+        exact = chacha.expand_masks(
+            [seed_words[i] for i in bad], dimension, modulus
+        )
+        for j in range(len(bad)):
+            out = (out - np.asarray(wrong[j], dtype=object)
+                   + np.asarray(exact[j], dtype=object)) % modulus
+    return out, bad
