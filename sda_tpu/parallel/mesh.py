@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sda_tpu.engine import TpuAggregationEngine
@@ -302,6 +303,7 @@ class ShardedAggregationPipeline:
             n_ = spec.share_count
             L8 = mxu8.L8
             L16 = ctx.L
+            n_shards = self.axes.get("p", 1) * n_c  # mxu block may be absent
             pspec_planar = P(("p", "c"), "d")
             # partial sums stay in the kernel's limb-major planar layout
             # ([L16*n, NBP_loc] per shard, leading stacked shard axis), so
@@ -334,12 +336,14 @@ class ShardedAggregationPipeline:
                 p_loc = sec8_loc.shape[0] // (slots * L8)
                 lanes = min(512, sec8_loc.shape[1])
                 # disjoint per-(seed, shard, block) PRNG windows (same
-                # schedule as the 7-bit path): callers pass consecutive
-                # chunk indices
-                grid_n = jnp.int32(sec8_loc.shape[1] // lanes)
+                # int32-wrap-safe schedule as the 7-bit path): callers pass
+                # consecutive chunk indices
+                grid_n = sec8_loc.shape[1] // lanes
+                windows = max(1, (1 << 31) // (n_shards * grid_n))
                 local_seed = (
-                    seed * jnp.int32(n_shards) + idx.astype(jnp.int32)
-                ) * grid_n
+                    (seed % jnp.int32(windows)) * jnp.int32(n_shards)
+                    + idx.astype(jnp.int32)
+                ) * jnp.int32(grid_n)
                 comb = fused_share_combine_mxu8(
                     mxu8, spec.share_matrix, sec8_loc, p_loc, k_, r_,
                     seed=local_seed, lanes=lanes,
@@ -402,7 +406,8 @@ class ShardedAggregationPipeline:
                 )
                 return self._mxu8_stream_finish(part)
 
-            def aggregate_mxu8_streaming(chunks, seed0: int = 0, ext: bool = False):
+            def aggregate_mxu8_streaming(chunks, seed0: int = 0, ext: bool = False,
+                                         indices=None, subset_matrix=None):
                 """Streaming + sharded gen-4 aggregation (config-5 shape).
 
                 Semantics identical to :meth:`aggregate_mxu_streaming`
@@ -412,6 +417,8 @@ class ShardedAggregationPipeline:
                 L8, NBP]``. ``ext=True`` = caller-supplied host-CSPRNG
                 randomness (the protocol path); the in-kernel PRNG seed
                 schedule is a benchmark decorrelation device only.
+                ``indices`` + ``subset_matrix``: finish from a degraded
+                committee (see :meth:`aggregate_mxu8_degraded`).
                 """
                 step = self._mxu8_chunk_step_ext if ext else self._mxu8_chunk_step
                 step_acc = (
@@ -432,7 +439,70 @@ class ShardedAggregationPipeline:
                     raise ValueError(
                         "aggregate_mxu8_streaming requires at least one chunk"
                     )
+                if indices is not None:
+                    return aggregate_mxu8_degraded(acc, indices, subset_matrix)
                 return self._mxu8_stream_finish(acc)
+
+            # ---------------- degraded-committee reconstruction (P4)
+            # The protocol's failure-tolerance claim on the mesh: any
+            # reconstruction_threshold-sized clerk subset reconstructs the
+            # same aggregate (crypto.rs:147-153, packed_shamir.rs:73-77).
+            # The subset Lagrange matrix is applied with the SAME fused
+            # kernel as the full-set finish, on the surviving clerk rows.
+            finish_cache: dict = {}
+
+            def _finish_subset8(indices, subset_matrix):
+                key = tuple(int(i) for i in indices)
+                fn = finish_cache.get(key)
+                if fn is not None:
+                    return fn
+                s = len(key)
+                idx_arr = np.asarray(key, dtype=np.int32)
+
+                def body(acc_loc):
+                    x = _comb_to_limb_last(acc_loc[0])  # [n, NBP_loc, L16]
+                    x = psum_mod(ctx, x, "p")
+                    x = psum_mod(ctx, x, "c")
+                    xs = x[idx_arr]  # surviving clerks only [s, NBP_loc, L16]
+                    bytes_ = [
+                        (((xs[..., j // 2] >> (8 * (j % 2))) & 0xFF) ^ 0x80
+                         ).astype(jnp.int8)
+                        for j in range(L8)
+                    ]
+                    c8 = jnp.stack(bytes_, axis=1).reshape(s * L8, xs.shape[1])
+                    rec = fused_share_combine_mxu8(
+                        mxu8, subset_matrix, c8, 1, s, 0,
+                        lanes=min(512, xs.shape[1]),
+                    )  # [L16*k2, NBP_loc]
+                    k2 = rec.shape[0] // L16
+                    return jnp.transpose(
+                        rec.reshape(L16, k2, xs.shape[1]), (2, 1, 0)
+                    )
+
+                fn = jax.jit(
+                    jax.shard_map(
+                        body,
+                        mesh=mesh,
+                        in_specs=(pspec_partial8,),
+                        out_specs=P("d", None, None),
+                        check_vma=False,
+                    )
+                )
+                finish_cache[key] = fn
+                return fn
+
+            def aggregate_mxu8_degraded(part, indices, subset_matrix):
+                """Finish a gen-4 sharded step from a DEGRADED committee:
+                reconstruct from only the ``indices`` clerk shards (any
+                ``reconstruction_threshold`` of ``share_count``) using the
+                scheme's subset Lagrange matrix
+                (``PackedShamirScheme.reconstruct_matrix(indices)``).
+                ``part`` is the partial-sum output of a chunk step (what
+                :meth:`aggregate_mxu8_streaming` accumulates). Returns
+                ``[NBP, k, L16]``."""
+                return _finish_subset8(indices, subset_matrix)(part)
+
+            self.aggregate_mxu8_degraded = aggregate_mxu8_degraded
 
             self._add_mod_sharded = jax.jit(ctx.add_mod)
             self.aggregate_mxu8 = aggregate_mxu8

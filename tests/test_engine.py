@@ -210,6 +210,65 @@ def test_sharded_mxu8_streaming_matches_single_device(rng):
     assert got == expect
 
 
+def test_sharded_mxu8_degraded_committee_and_lane_batch(rng):
+    """P4 on the mesh: every sweep of one dropped clerk shard reconstructs
+    the same aggregate through the subset-Lagrange fused finish; and two
+    lane-concatenated jobs share one sharded launch with per-job-exact
+    reveals (VERDICT r4 directive 7)."""
+    from sda_tpu.fields import find_special_prime_field
+    from sda_tpu.parallel import ShardedAggregationPipeline, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    p, w2, w3 = find_special_prime_field(63, 8, 9)
+    scheme = PackedShamirScheme(3, 8, 4, p, w2, w3)
+    d = 12
+    engine = TpuAggregationEngine(scheme.device_spec(), d)
+    mesh = make_mesh({"p": 2, "d": 2, "c": 2})
+    pipe = ShardedAggregationPipeline(engine, mesh)
+    p_count = 8
+    secrets = np.array(
+        [[int(rng.integers(0, 1 << 62)) for _ in range(d)] for _ in range(p_count)],
+        dtype=object,
+    )
+    enc = jnp.asarray(engine.encode_secrets(secrets))
+    rand = jnp.asarray(engine.random_ext(p_count, rng=rng))
+    ext = jnp.concatenate([enc, rand], axis=2)
+    chunk = engine.planar8_ext(ext, lanes=8)
+    expect = [int(sum(secrets[i][j] for i in range(p_count))) % p for j in range(d)]
+    for drop in range(scheme.share_count):
+        subset = [i for i in range(scheme.share_count) if i != drop]
+        out = pipe.aggregate_mxu8_streaming(
+            [chunk], ext=True, indices=subset,
+            subset_matrix=scheme.reconstruct_matrix(subset),
+        )
+        got = [int(x) for x in engine.decode_output(np.asarray(out))]
+        assert got == expect, f"dropped shard {drop} diverges"
+    # lane batch: second job with different secrets, one launch, exact split
+    secrets_b = np.array(
+        [[int(rng.integers(0, 1 << 62)) for _ in range(d)] for _ in range(p_count)],
+        dtype=object,
+    )
+    ext_b = jnp.concatenate(
+        [
+            jnp.asarray(engine.encode_secrets(secrets_b)),
+            jnp.asarray(engine.random_ext(p_count, rng=rng)),
+        ],
+        axis=2,
+    )
+    job_a = engine.planar8_ext(ext, lanes=8)
+    job_b = engine.planar8_ext(ext_b, lanes=8)
+    batched = engine.concat_jobs_lanes([job_a, job_b])
+    out_lb = np.asarray(pipe.aggregate_mxu8_streaming([batched], ext=True))
+    nbp_job = job_a.shape[1]
+    expect_b = [
+        int(sum(secrets_b[i][j] for i in range(p_count))) % p for j in range(d)
+    ]
+    for j, want in enumerate((expect, expect_b)):
+        sl = out_lb[j * nbp_job : j * nbp_job + engine.nb]
+        assert [int(x) for x in engine.decode_output(sl)] == want
+
+
 def test_device_combine_matches_host(rng):
     from sda_tpu.engine import device_combine
     from sda_tpu.fields import positive
