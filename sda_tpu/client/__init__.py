@@ -113,6 +113,16 @@ class SdaClient:
         # from the probe when a bulk decision actually arises
         self.routing = routing
         self._engines: dict = {}
+        # verified-encryption-key cache: the reference re-fetches and
+        # re-verifies every key on every participation/job and carries a
+        # FIXME about exactly that (signing/mod.rs:111 "no verification
+        # caching"). Signed keys are create-only and content-addressed by
+        # key id, so a (owner, key) pair that verified once verifies
+        # forever — only SUCCESSES are cached (a failed verification is
+        # re-tried on the next call). This turns the participant build
+        # plane from ~20 HTTP GETs + 9 Ed25519 verifies per participation
+        # into pure crypto (bench.py system_e2e measures the effect).
+        self._verified_keys: dict[tuple[str, str], proto.EncryptionKey] = {}
 
     def _bulk_engine(self, scheme, dimension: int):
         """Cached TPU engine per (scheme, dimension) configuration."""
@@ -195,7 +205,11 @@ class SdaClient:
 
     def _verified_encryption_key(self, owner_id: str, key_id: str) -> proto.EncryptionKey:
         """Fetch a signed key + its owner, verify the signature
-        (participate.rs:56-72 / 85-97 pattern)."""
+        (participate.rs:56-72 / 85-97 pattern); verified pairs are cached
+        (see ``_verified_keys`` in ``__init__``)."""
+        cached = self._verified_keys.get((owner_id, key_id))
+        if cached is not None:
+            return cached
         signed_key = self.service.get_encryption_key(self.agent, key_id)
         if signed_key is None:
             raise Invalid("Unknown encryption key")
@@ -204,7 +218,9 @@ class SdaClient:
             raise Invalid("Unknown agent")
         if not self.crypto.signature_is_valid(owner, signed_key):
             raise Invalid("Signature verification failed for key")
-        return signed_key.body.body
+        key = signed_key.body.body
+        self._verified_keys[(owner_id, key_id)] = key
+        return key
 
     # ------------------------------------------------------ participating
 

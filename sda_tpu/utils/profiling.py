@@ -31,11 +31,13 @@ from dataclasses import dataclass
 __all__ = ["device_time", "roofline", "ChipSpec", "V5E", "detect_chip"]
 
 
-def device_time(fn, iters: int = 10, warmup: int = 1):
+def device_time(fn, iters: int = 10, warmup: int = 1, _base: int = 2000):
     """Per-step device seconds for ``fn(i)``; falls back to wall clock.
 
     ``fn`` must accept an integer it folds into the step's seed/inputs so
-    every timed execution is distinct. Returns ``(seconds, last_output)``.
+    every timed execution is distinct (``_base`` offsets the integers so
+    nested callers like :func:`device_time_samples` never repeat one).
+    Returns ``(seconds, last_output)``.
     """
     import jax
 
@@ -49,12 +51,42 @@ def device_time(fn, iters: int = 10, warmup: int = 1):
     t0 = time.perf_counter()
     with jax.profiler.trace(d):
         for i in range(iters):
-            out = fn(2000 + i)
+            out = fn(_base + i)
         jax.block_until_ready(out)
     wall = (time.perf_counter() - t0) / iters
 
     device_us = _sum_device_events(d)
     return (device_us / 1e6 / iters if device_us else wall), out
+
+
+def device_time_samples(fn, samples: int = 5, iters: int = 3, warmup: int = 1):
+    """Per-step device seconds with run-to-run spread.
+
+    Runs ``samples`` INDEPENDENT profiler traces of ``iters`` steps each
+    (the r4 lesson: single-shot numbers through this environment's
+    compile-helper/tunnel quirks are untrustworthy — VERDICT r5 #3) and
+    returns ``({"median", "min", "max", "n"}, last_output)``. ``fn`` takes
+    an integer folded into the step's inputs so no execution dedups.
+    """
+    import statistics
+
+    import jax
+
+    out = fn(0)
+    jax.block_until_ready(out)
+    for i in range(warmup):
+        out = fn(500 + i)
+    jax.block_until_ready(out)
+    vals = []
+    for s in range(samples):
+        dt, out = device_time(fn, iters=iters, warmup=0, _base=1000 * (s + 2))
+        vals.append(dt)
+    return {
+        "median": statistics.median(vals),
+        "min": min(vals),
+        "max": max(vals),
+        "n": samples,
+    }, out
 
 
 def device_breakdown(fn, iters: int = 5):

@@ -120,6 +120,44 @@ def test_full_loop_over_http(config):
         check_full_aggregation(service, **CONFIGS[config])
 
 
+def test_verified_key_cache_skips_refetch_and_never_caches_failures():
+    """The client caches (owner, key) pairs that verified once — the
+    reference's signing FIXME (no verification caching) answered — but a
+    failed verification must be re-tried, never cached."""
+    from sda_tpu.utils.errors import Invalid
+
+    with with_service("memory") as service:
+        owner = make_client(service)
+        key_id = owner.new_encryption_key()
+        owner.upload_agent()
+        owner.upload_encryption_key(key_id)
+        user = make_client(service)
+
+        calls = []
+        real_get = user.service.get_encryption_key
+        user.service.get_encryption_key = (
+            lambda caller, kid: calls.append(kid) or real_get(caller, kid)
+        )
+        first = user._verified_encryption_key(owner.agent.id, key_id)
+        assert calls == [key_id]
+        second = user._verified_encryption_key(owner.agent.id, key_id)
+        assert calls == [key_id]  # cache hit: no second fetch
+        assert first is second
+
+        # a failing verification is NOT cached: both calls re-fetch
+        bad = make_client(service)
+        bad_calls = []
+        bad.service.get_encryption_key = (
+            lambda caller, kid: bad_calls.append(kid) or real_get(caller, kid)
+        )
+        bad.crypto.signature_is_valid = lambda *_: False
+        for _ in range(2):
+            with pytest.raises(Invalid, match="verification failed"):
+                bad._verified_encryption_key(owner.agent.id, key_id)
+        assert len(bad_calls) == 2
+        assert not bad._verified_keys
+
+
 def test_end_aggregation_idempotent():
     with with_service("memory") as service:
         recipient = make_client(service)

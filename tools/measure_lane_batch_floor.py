@@ -1,0 +1,207 @@
+"""Config-2 lane-batched serving decomposition: where the non-SoL time goes.
+
+VERDICT r5 #4: the 512-job lane batch sat at 0.65 of HBM speed-of-light
+with no accounting for the other 35% at a shape where the launch floor is
+fully amortised. This tool decomposes a 512-job batch the way
+LATENCY_FLOOR.json decomposed the single job, by timing (device-trace):
+
+1. the real batched kernel (in-kernel PRNG randomness + fused
+   reconstruction) at several kernel lane-block sizes;
+2. a NO-OP Pallas kernel with identical grid/block specs — the pure
+   DMA-streaming floor for the same bytes;
+3. the real kernel WITHOUT fused reconstruction (stage-2 + its carry
+   epilogue removed);
+4. the real kernel with HOST-supplied randomness (PRNG + randomness-sum
+   accumulate removed; more input bytes, own SoL accounting);
+5. the same total bytes at 4x the participants (128 jobs x 400) — the
+   per-lane epilogue amortisation probe: per-lane costs (carry chain,
+   fold, randomness accumulate) scale with lanes, not bytes, so a small-P
+   job pays them 4x as often per byte.
+
+Writes LANE_BATCH_FLOOR.json at the repo root with the per-experiment
+rooflines and a named binding component for the gap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp")
+)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import bench
+    from sda_tpu.models import FederatedAggregation
+    from sda_tpu.ops.mxu8 import fused_share_combine_mxu8
+    from sda_tpu.utils.profiling import device_time_samples, roofline
+
+    dimension, participants, jobs = 1002, 100, 512
+    model = FederatedAggregation.packed_64bit(dimension=dimension)
+    engine = model.engine
+    mxu8, spec, ctx = engine.mxu8, engine.spec, engine.ctx
+    k, r, n = spec.secret_count, spec.randomness_count, spec.share_count
+    job_lanes = -(-engine.nb // 128) * 128  # 384
+    nbp = jobs * job_lanes
+    rows = participants * k * mxu8.L8
+    sec8 = bench._make_planar_secrets(engine, jax.random.key(5), rows, nbp)
+    out_rows_rec = ctx.L * k
+    out_rows_comb = ctx.L * n
+
+    def sol(p_count, nbp_, in_bytes, out_bytes, recon=True):
+        return bench._mxu8_model(engine, p_count, nbp_, in_bytes, out_bytes,
+                                 recon=recon)
+
+    results = {}
+
+    # 1. real kernel at several kernel lane-block sizes
+    for lanes in (512, 1024, 2048):
+        if nbp % lanes:
+            continue
+        dt, _ = device_time_samples(
+            lambda i: engine.aggregate_mxu8_kernel(
+                sec8, jnp.asarray(i, jnp.int32), p_count=participants,
+                lanes=lanes,
+            ),
+            samples=5, iters=3,
+        )
+        rep = roofline(dt["median"], **sol(
+            participants, nbp, sec8.size, out_rows_rec * nbp * 4))
+        results[f"real_lanes{lanes}"] = {
+            "s": dt, "fraction_of_sol": rep["fraction_of_sol"],
+            "utilization": rep["utilization"],
+        }
+        print(f"# real lanes={lanes}: {dt['median']*1e3:.3f} ms "
+              f"(sol {rep['fraction_of_sol']})", file=sys.stderr)
+
+    best_lanes = min(
+        (int(key.split("lanes")[1]) for key in results),
+        key=lambda L: results[f"real_lanes{L}"]["s"]["median"],
+    )
+    dt_real = results[f"real_lanes{best_lanes}"]["s"]["median"]
+
+    # 2. no-op with the same grid/blocks: the DMA-streaming floor
+    def noop_kernel(s_ref, o_ref):
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    noop = pl.pallas_call(
+        noop_kernel,
+        grid=(nbp // best_lanes,),
+        in_specs=[pl.BlockSpec((rows, best_lanes), lambda t: (0, t),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((out_rows_rec, best_lanes), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((out_rows_rec, nbp), jnp.uint32),
+    )
+    noop_j = jax.jit(lambda x: noop(x))
+    dt_noop, _ = device_time_samples(lambda i: noop_j(sec8), samples=5, iters=3)
+    results["noop_same_shape"] = {"s": dt_noop}
+    print(f"# noop: {dt_noop['median']*1e3:.3f} ms", file=sys.stderr)
+
+    # 3. combine-only (no fused stage-2 / second epilogue)
+    comb = jax.jit(
+        lambda sec, seed: fused_share_combine_mxu8(
+            mxu8, spec.share_matrix, sec, participants, k, r,
+            seed=seed, lanes=best_lanes,
+        )
+    )
+    dt_comb, _ = device_time_samples(
+        lambda i: comb(sec8, jnp.asarray(i, jnp.int32)), samples=5, iters=3
+    )
+    rep_comb = roofline(dt_comb["median"], **sol(
+        participants, nbp, sec8.size, out_rows_comb * nbp * 4, recon=False))
+    results["combine_only"] = {
+        "s": dt_comb, "fraction_of_sol": rep_comb["fraction_of_sol"],
+    }
+    print(f"# combine-only: {dt_comb['median']*1e3:.3f} ms "
+          f"(sol {rep_comb['fraction_of_sol']})", file=sys.stderr)
+
+    # 4. host-randomness variant (no PRNG, no randomness-sum accumulate)
+    rows_ext = participants * (k + r) * mxu8.L8
+    sec8_ext = bench._make_planar_secrets(
+        engine, jax.random.key(6), rows_ext, nbp)
+    ext = jax.jit(
+        lambda sec: fused_share_combine_mxu8(
+            mxu8, spec.share_matrix, sec, participants, k, r,
+            lanes=best_lanes, reconstruct_matrix=spec.reconstruct_matrix,
+        )
+    )
+    dt_ext, _ = device_time_samples(lambda i: ext(sec8_ext), samples=5, iters=3)
+    rep_ext = roofline(
+        dt_ext["median"],
+        hbm_bytes=float(sec8_ext.size + out_rows_rec * nbp * 4),
+        mxu_int8_ops=2.0 * nbp * 96 * rows_ext,
+        vpu_u32_ops=nbp * 40.0 * n * mxu8.L8,
+    )
+    results["host_randomness"] = {
+        "s": dt_ext, "fraction_of_sol": rep_ext["fraction_of_sol"],
+        "input_bytes": int(sec8_ext.size),
+    }
+    print(f"# host-randomness: {dt_ext['median']*1e3:.3f} ms "
+          f"(sol {rep_ext['fraction_of_sol']})", file=sys.stderr)
+
+    # 5. same bytes, 4x participants (128 jobs x 400): epilogue/lane probe
+    p_big, jobs_big = 4 * participants, jobs // 4
+    rows_big = p_big * k * mxu8.L8
+    nbp_big = jobs_big * job_lanes
+    sec8_big = bench._make_planar_secrets(
+        engine, jax.random.key(7), rows_big, nbp_big)
+    dt_big, _ = device_time_samples(
+        lambda i: engine.aggregate_mxu8_kernel(
+            sec8_big, jnp.asarray(i, jnp.int32), p_count=p_big,
+            lanes=best_lanes if nbp_big % best_lanes == 0 else job_lanes,
+        ),
+        samples=5, iters=3,
+    )
+    rep_big = roofline(dt_big["median"], **sol(
+        p_big, nbp_big, sec8_big.size, out_rows_rec * nbp_big * 4))
+    results["same_bytes_4x_participants"] = {
+        "s": dt_big, "fraction_of_sol": rep_big["fraction_of_sol"],
+        "participants": p_big, "jobs": jobs_big,
+    }
+    print(f"# 4x participants: {dt_big['median']*1e3:.3f} ms "
+          f"(sol {rep_big['fraction_of_sol']})", file=sys.stderr)
+
+    # ---- decomposition (medians, per 1024-lane block where useful)
+    blocks = nbp // best_lanes
+    d_noop = dt_noop["median"]
+    stage2_cost = dt_real - dt_comb["median"]
+    # PRNG+randsum cost: ext has MORE input DMA; compare compute-above-DMA
+    prng_cost = (dt_real - d_noop) - (
+        dt_ext["median"] - d_noop * (sec8_ext.size / sec8.size))
+    artifact = {
+        "metric": "config-2 512-job lane-batch decomposition (device-trace medians)",
+        "shape": {"dimension": dimension, "participants": participants,
+                  "jobs": jobs, "nbp": nbp, "input_bytes": int(sec8.size),
+                  "best_kernel_lanes": best_lanes},
+        "experiments": results,
+        "decomposition": {
+            "dma_floor_s": round(d_noop, 7),
+            "compute_above_dma_s": round(dt_real - d_noop, 7),
+            "fused_stage2_epilogue_s": round(stage2_cost, 7),
+            "prng_plus_randsum_s": round(prng_cost, 7),
+            "per_block_us": {
+                "real": round(dt_real / blocks * 1e6, 3),
+                "dma": round(d_noop / blocks * 1e6, 3),
+            },
+        },
+    }
+    with open(os.path.join(ROOT, "LANE_BATCH_FLOOR.json"), "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps(artifact["decomposition"], indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
