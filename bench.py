@@ -285,22 +285,64 @@ def _bench_config2():
         f"{repl['fraction_of_sol']}",
         file=sys.stderr,
     )
+
+    # combined-draw serving mode: LANE_BATCH_FLOOR.json shows the ENTIRE
+    # gap at P=100 is the per-participant PRNG+randomness-sum stream; a
+    # sum of P uniform draws mod p is distributionally identical to ONE
+    # uniform draw, so when only the combined result leaves the kernel
+    # (this kernel's only output), one equivalent draw per slot is sound
+    # — opt-in, documented in docs/SERVING.md
+    import jax.numpy as _jnp
+
+    from sda_tpu.ops.mxu8 import fused_share_combine_mxu8
+
+    spec = engine.spec
+    fn_c = jax.jit(lambda sec, seed: fused_share_combine_mxu8(
+        engine.mxu8, spec.share_matrix, sec, participants,
+        spec.secret_count, spec.randomness_count, seed=seed,
+        lanes=1024 if nbp_l % 1024 == 0 else lanes,
+        reconstruct_matrix=spec.reconstruct_matrix, rand_participants=1))
+    from sda_tpu.ops.mxu8 import batched_from_planar_lm
+
+    outc = batched_from_planar_lm(fn_c(sec8l, _jnp.asarray(0, _jnp.int32)),
+                                  engine.nb, k)
+    _reveal_check_slice(engine, sec8l, outc, participants)
+    dtc, spc, _ = _timeit_spread(
+        lambda i: fn_c(sec8l, _jnp.asarray(i, _jnp.int32)), iters=3
+    )
+    repc = roofline(
+        dtc,
+        **_mxu8_model(engine, participants, nbp_l, sec8l.size,
+                      engine.ctx.L * k * nbp_l * 4),
+    )
+    print(
+        f"# config 2 batched combined-draw ({jobs_l} jobs/launch, one "
+        f"equivalent randomness draw per slot): {dtc*1e3:.3f} ms, "
+        f"fraction_of_sol {repc['fraction_of_sol']} (workload-parity "
+        f"model)",
+        file=sys.stderr,
+    )
     return {
         "single": (rep, gfops, sp2),
         "b64": (repb, gfopsb, spb),
         "b512": (repl, gfopsl, spl),
+        "b512_combined": (repc, jobs_l * _fieldops(engine, participants) / dtc / 1e9, spc),
     }
 
 
 def _bench_config3():
-    """128-bit modulus: 16-byte limbs, 1,024 participants, ONE launch,
-    ONE chunk.
+    """128-bit modulus: 16-byte limbs, 1,024 participants, ONE launch.
 
-    The uint32 carry chain admits all 1,024 participants in a single pass
-    (true column values < 2^32; r3's int32 reading of the bound forced
-    2 x 512 chunks). r3 ran this as 4 launches — 2 combine + 1 add + 1
-    reconstruct — and inter-launch gaps + doubled epilogues + the extra
-    per-clerk HBM round-trips held it to 0.61 of SoL.
+    Launch shape from the r5 sweep (tools/measure_config3_variants.py ->
+    CONFIG3_SWEEP.json): 2 chunks x 512 lanes — the (lane_blocks, chunk)
+    reduction grid doubles the pipeline steps and halves the first-block
+    DMA bubble, the best of 8 measured (n_chunks, lanes) variants (0.801
+    vs 0.780 single-chunk). The remaining gap to 1.0 is NOT kernel
+    compute: a same-shape no-op Pallas kernel (pure launch + DMA) already
+    measures 0.234 ms vs the 0.207 ms model SoL — grid head/tail at a
+    14-step, 0.27 ms launch — and the real kernel runs at 92% of that
+    no-op's rate (PRNG+randsum 0.017 ms, fused stage-2 ~free; controls in
+    the artifact).
     """
     import jax
     import jax.numpy as jnp
@@ -308,14 +350,12 @@ def _bench_config3():
     from sda_tpu.models import FederatedAggregation
     from sda_tpu.utils.profiling import roofline
 
-    dimension, p_chunk, n_chunks = 10_002, 1024, 1
+    dimension, p_chunk, n_chunks = 10_002, 512, 2
     model = FederatedAggregation.packed_128bit(dimension=dimension)
     engine = model.engine
     mxu8 = engine.mxu8
     k, n = engine.spec.secret_count, engine.spec.share_count
-    # 384 lanes: 9 grid steps amortise the pipeline head/tail on this short
-    # grid better than 512 (7 steps) and pad only 3.7% (nbp 3456 vs 3584)
-    lanes = 384
+    lanes = 512
     nbp = -(-engine.nb // lanes) * lanes
     rows = p_chunk * k * mxu8.L8
     total = p_chunk * n_chunks
@@ -340,8 +380,11 @@ def _bench_config3():
 
     dt, sp, _ = _timeit_spread(step, iters=3)
     per = _mxu8_model(engine, p_chunk, nbp, sec8_all.size // n_chunks, 0,
-                      recon=True)
+                      recon=False)
     agg = {key: v * n_chunks for key, v in per.items()}
+    # fused stage-2 runs once per lane block (last chunk), not per chunk
+    rec_once = _mxu8_model(engine, p_chunk, nbp, 0, 0, recon=True)
+    agg["mxu_int8_ops"] += rec_once["mxu_int8_ops"] - per["mxu_int8_ops"]
     agg["hbm_bytes"] += engine.ctx.L * k * nbp * 4  # one fused-stage-2 output
     rep = roofline(dt, **agg)
     gfops = _fieldops(engine, total) / dt / 1e9
@@ -584,6 +627,83 @@ def _bench_fullmask_reveal():
         "mask_vectors_s_host": round(P / t_host, 1),
         "device_link_gbs": round(link_gbs, 3),
         "speedup_vs_host": round(t_host / t_dev, 2),
+    }
+
+
+def _bench_chacha_reveal():
+    """Reveal-side ChaCha mask combine at federated scale: re-expand EVERY
+    participant's uploaded seed and fold
+    (/root/reference/client/src/crypto/masking/chacha.rs:56-77, driven from
+    receive.rs:102-118 — the bandwidth trade the reference sells at
+    crypto.rs:53-63).
+
+    10,000 seeds x 1M dim = 2x10^10 gen_range draws (~80 GB of masks that
+    never materialise anywhere). Device route: only the seeds (~320 KB)
+    cross the link; the keystream, limb reduction, and fold all run
+    on-chip, streamed in seed chunks with a running ``[d, L]`` canonical
+    sum (ops/chacha_kernel.combine_masks_device). Host route: the native
+    C++ expansion (native/chacha.cpp) measured on a seed slice and
+    extrapolated linearly (labeled as such — the full host run is
+    minutes). Device-vs-host parity is asserted exactly on the slice
+    shape first. The routing policy (sda_tpu/routing.py chacha_combine)
+    picks the device whenever a real accelerator exists — this row is the
+    measurement behind that rule.
+    """
+    from sda_tpu.chacha import expand_masks, new_seed
+    from sda_tpu.fields import find_special_prime_field, trunc_add_mod
+    from sda_tpu.ops.chacha_kernel import combine_masks_device
+
+    p, _, _ = find_special_prime_field(63, 8, 9)
+    S, d = 10_000, 1_000_002
+    seeds = [new_seed(128) for _ in range(S)]
+
+    # exact device-vs-host parity on a slice shape first
+    s_sl, d_sl = 96, 4098
+    dev_sl, bad_sl = combine_masks_device(seeds[:s_sl], d_sl, p, seed_chunk=32)
+    host_rows = expand_masks(seeds[:s_sl], d_sl, p)
+    acc = np.zeros(d_sl, dtype=np.int64)
+    for row in host_rows:
+        acc = trunc_add_mod(acc, np.asarray(row, dtype=np.int64), p)
+    assert [int(x) for x in dev_sl] == [int(x) for x in acc], \
+        "chacha device combine != host fold"
+
+    # device at full scale (wall clock around the host-driven chunk loop;
+    # the final decode forces synchronisation, so no async deflation)
+    t0 = time.perf_counter()
+    combined, bad = combine_masks_device(seeds, d, p)
+    t_dev = time.perf_counter() - t0
+    assert len(combined) == d
+
+    # host: native expansion + fold on a 64-seed slice, extrapolated
+    s_host = 64
+    t0 = time.perf_counter()
+    rows = expand_masks(seeds[:s_host], d, p)
+    acc = np.zeros(d, dtype=np.int64)
+    for row in rows:
+        acc = trunc_add_mod(acc, row, p)
+    t_host_slice = time.perf_counter() - t0
+    t_host = t_host_slice * (S / s_host)
+
+    print(
+        f"# chacha reveal combine ({S} seeds x {d}-dim, 63-bit prime, "
+        f"~80 GB of masks expanded, {len(bad)} rejection fix-ups): device "
+        f"{t_dev:.2f} s ({S/t_dev:.0f} seeds/s) vs host native "
+        f"{t_host:.0f} s extrapolated from a {s_host}-seed slice "
+        f"({t_host_slice:.2f} s) -> {t_host/t_dev:.1f}x device win; "
+        f"routing picks the device on any accelerator (only seeds cross "
+        f"the link)",
+        file=sys.stderr,
+    )
+    return {
+        "seeds": S,
+        "dimension": d,
+        "seeds_s_device": round(S / t_dev, 1),
+        "seeds_s_host_extrapolated": round(S / t_host, 1),
+        "device_s": round(t_dev, 3),
+        "host_s_extrapolated": round(t_host, 1),
+        "speedup_vs_host": round(t_host / t_dev, 1),
+        "rejection_fixups": len(bad),
+        "route": "device",
     }
 
 
@@ -905,10 +1025,12 @@ def main():
     (rep2, gfops2, sp2) = cfg2["single"]
     (rep2b, gfops2b, sp2b) = cfg2["b64"]
     (rep2l, gfops2l, sp2l) = cfg2["b512"]
+    (rep2c, gfops2c, sp2c) = cfg2["b512_combined"]
     rep3, gfops3, sp3 = _bench_config3()
     rep4, rate4, sp4 = _bench_config4_streaming(dimension)
     clerk = _bench_clerk_host()
     fullmask = _bench_fullmask_reveal()
+    chacha_rev = _bench_chacha_reveal()
     system_e2e = _bench_system_e2e()
     host_dt = _bench_host_baseline(dimension, participants)
     print(f"# host-numpy baseline (extrapolated): {host_dt:.1f} s/step", file=sys.stderr)
@@ -936,6 +1058,8 @@ def main():
                         "batched512_gfield_ops_s": round(gfops2l, 1),
                         "batched512_fraction_of_sol": rep2l["fraction_of_sol"],
                         "batched512_spread": _spread_ms(sp2l),
+                        "batched512_combined_draw_fraction_of_sol": rep2c["fraction_of_sol"],
+                        "batched512_combined_draw_spread": _spread_ms(sp2c),
                     },
                     "config3_128bit": {
                         "fraction_of_sol": rep3["fraction_of_sol"],
@@ -951,6 +1075,7 @@ def main():
                     },
                     "clerk_host_plane": clerk,
                     "fullmask_reveal": fullmask,
+                    "chacha_reveal": chacha_rev,
                     "system_e2e": system_e2e,
                 },
             }

@@ -149,6 +149,29 @@ def _load_native():
 _NATIVE_EXPAND = _load_native()
 
 
+def expand_masks_noskip(seeds, dimension: int, modulus: int) -> np.ndarray:
+    """Device-semantics expansion: every draw is ``v % m`` with NO
+    rejection skipping (the on-device fold sums raw draws, which is
+    congruent). Used to back out a rejection-hit seed's device
+    contribution before adding the exact host expansion back
+    (per-bad-seed fix-up in :mod:`sda_tpu.ops.chacha_kernel`)."""
+    seeds = list(seeds)
+    s = len(seeds)
+    if s == 0 or dimension == 0:
+        return np.zeros((s, dimension), dtype=np.int64)
+    nblocks = -(-2 * dimension // 16)
+    states = np.stack([_initial_state(w) for w in seeds])
+    blocks = np.broadcast_to(states[:, None, :], (s, nblocks, 16)).copy()
+    counters = np.arange(nblocks, dtype=np.uint64)
+    blocks[:, :, 12] = (counters & 0xFFFFFFFF).astype(_U32)[None, :]
+    blocks[:, :, 13] = (counters >> np.uint64(32)).astype(_U32)[None, :]
+    stream = chacha_core_blocks(blocks).reshape(s, nblocks * 16)
+    hi = stream[:, 0::2].astype(np.uint64)
+    lo = stream[:, 1::2].astype(np.uint64)
+    u64s = (hi << np.uint64(32)) | lo
+    return (u64s[:, :dimension] % np.uint64(modulus)).astype(np.int64)
+
+
 def expand_masks(seeds, dimension: int, modulus: int) -> np.ndarray:
     """Expand ``[S]`` seeds (each a u32 word list) into ``[S, dimension]`` masks.
 

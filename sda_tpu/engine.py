@@ -442,7 +442,19 @@ class TpuAggregationEngine:
                     reconstruct_matrix=spec.reconstruct_matrix,
                 )
 
+            @partial(jax.jit, static_argnums=(2, 3))
+            def _kernel8_raw_rp1(sec8, seed, p_count, lanes):
+                # combined-draw serving mode: one equivalent randomness
+                # draw per slot (see aggregate_mxu8_kernel_jobs)
+                return fused_share_combine_mxu8(
+                    mxu8, spec.share_matrix, sec8, p_count, k_, r_,
+                    seed=seed, lanes=lanes,
+                    reconstruct_matrix=spec.reconstruct_matrix,
+                    rand_participants=1,
+                )
+
             self._kernel8_raw = _kernel8_raw
+            self._kernel8_raw_rp1 = _kernel8_raw_rp1
 
             def _aggregate_mxu8_kernel(sec8, seed, p_count, lanes=1024):
                 """Full share+combine+reconstruct in ONE byte-limb kernel
@@ -621,15 +633,27 @@ class TpuAggregationEngine:
         return jnp.concatenate(planar_jobs, axis=1)
 
     def aggregate_mxu8_kernel_jobs(
-        self, sec8_batched, seed, p_count: int, n_jobs: int, lanes: int = 1024
+        self, sec8_batched, seed, p_count: int, n_jobs: int, lanes: int = 1024,
+        combined_randomness: bool = False,
     ):
         """Run ``n_jobs`` lane-concatenated jobs (from
         :meth:`concat_jobs_lanes`) through ONE fused kernel launch and
-        return one ``[nb, k, L16]`` reveal-ready tensor per job.
+        return ONE stacked ``[n_jobs, nb, k, L16]`` reveal-ready tensor
+        (row ``i`` is job ``i`` — a free reshape + one slice, not
+        ``n_jobs`` dispatches; measured: per-job slicing cost 0.3 ms on a
+        512-job batch).
 
         This is the supported way to consume a lane batch: the plain
         ``aggregate_mxu8_kernel`` truncates its output to the first job's
         ``nb`` rows, so its result cannot be split per job.
+
+        ``combined_randomness``: draw ONE equivalent randomness value per
+        slot instead of ``p_count`` independent ones — distributionally
+        identical for the combined output (a sum of uniforms mod p is
+        uniform) and sound within this kernel's fused-combine trust model,
+        where per-participant shares never exist; it removes the binding
+        PRNG+accumulate stream at small P (LANE_BATCH_FLOOR.json,
+        docs/SERVING.md). Leave False for workload-parity benchmarks.
         """
         from sda_tpu.ops.mxu8 import fused_share_combine_mxu8
 
@@ -638,12 +662,15 @@ class TpuAggregationEngine:
             raise ValueError("batched lane width must divide evenly into jobs")
         nbp_job = nbp_total // n_jobs
         spec = self.spec
-        rec = self._kernel8_raw(sec8_batched, jnp.asarray(seed, jnp.int32),
-                                p_count, lanes)
-        # limb-major [L*k, NBP_total] -> [NBP_total, k, L], then per-job
-        # nbp_job-strided slices truncated to this engine's nb rows
+        if combined_randomness:
+            rec = self._kernel8_raw_rp1(
+                sec8_batched, jnp.asarray(seed, jnp.int32), p_count, lanes
+            )
+        else:
+            rec = self._kernel8_raw(sec8_batched, jnp.asarray(seed, jnp.int32),
+                                    p_count, lanes)
+        # limb-major [L*k, NBP_total] -> [NBP_total, k, L] -> one reshape
+        # to [n_jobs, nbp_job, k, L] and ONE truncating slice to nb rows
         k = spec.secret_count
         full = jnp.transpose(rec.reshape(self.ctx.L, k, nbp_total), (2, 1, 0))
-        return [
-            full[i * nbp_job : i * nbp_job + self.nb] for i in range(n_jobs)
-        ]
+        return full.reshape(n_jobs, nbp_job, k, self.ctx.L)[:, : self.nb]

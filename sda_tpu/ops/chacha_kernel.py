@@ -191,9 +191,228 @@ def expand_masks_device(seed_words, dimension: int, modulus: int, rows: int = 8,
     return _expand_masks_jit(ctx, dimension, rows, interpret, jnp.asarray(seeds))
 
 
-def combine_masks_device(seed_words, dimension: int, modulus: int, rows: int = 8,
-                         interpret: bool = False, fixup_host: bool = True):
+def _chacha_fold_kernel(block_tile, n_seed_tiles, zone_hi, zone_lo,
+                        key_ref, mask_ref, out_ref, rej_ref, acc_ref):
+    """Fused keystream + draw-limb accumulation: NO HBM intermediates.
+
+    Grid ``(dim_tiles, seed_tiles)``, seed axis innermost. Each step
+    computes ``block_tile`` keystream blocks for one 1,024-seed tile and
+    accumulates the raw 64-bit draws' four u16 limbs into a VMEM scratch
+    ``[block_tile*8 dims, 4, 8, 128]`` — the combine is mod p, and
+    ``v mod p ≡ v``, so summing RAW draws and reducing once at the end is
+    congruent to summing ``v mod p`` per draw (the per-draw reduction the
+    seed-chunk path pays is pure overhead here). At the last seed tile the
+    lane axes reduce (sums < n_seeds * 2^16 < 2^32) and the ``[dims, 4]``
+    u32 limb sums emit. Rejection-zone hits accumulate per seed lane in
+    ``rej_ref`` (constant block: lives in VMEM until the kernel ends).
+    ``mask_ref`` zeroes the padding seed lanes.
+    """
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    lane = (8, 128)
+    key = [key_ref[w] for w in range(8)]
+    m = mask_ref[0]  # [8, 128] u32: 0xFFFFFFFF for real seeds, 0 for pad
+
+    @pl.when((t == 0) & (c == 0))
+    def _init_rej():
+        rej_ref[...] = jnp.zeros_like(rej_ref)
+
+    @pl.when(c == 0)
+    def _init_acc():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    rej = jnp.zeros(lane, dtype=jnp.uint32)
+    zh = jnp.uint32(zone_hi)
+    zl = jnp.uint32(zone_lo)
+
+    def block(b, rej):
+        x = [jnp.full(lane, cst, dtype=jnp.uint32) for cst in _CONSTANTS]
+        x += key
+        counter = (t * block_tile + b).astype(jnp.uint32)
+        x.append(jnp.full(lane, 0, dtype=jnp.uint32) + counter)
+        x += [jnp.zeros(lane, dtype=jnp.uint32) for _ in range(3)]
+        init = list(x)
+        for _ in range(10):  # 20 rounds
+            _quarter(x, 0, 4, 8, 12)
+            _quarter(x, 1, 5, 9, 13)
+            _quarter(x, 2, 6, 10, 14)
+            _quarter(x, 3, 7, 11, 15)
+            _quarter(x, 0, 5, 10, 15)
+            _quarter(x, 1, 6, 11, 12)
+            _quarter(x, 2, 7, 8, 13)
+            _quarter(x, 3, 4, 9, 14)
+        limbs = [[], [], [], []]
+        for j in range(8):  # 8 draws per block: hi = word 2j, lo = word 2j+1
+            hi = (x[2 * j] + init[2 * j]) & m
+            lo = (x[2 * j + 1] + init[2 * j + 1]) & m
+            limbs[0].append(lo & 0xFFFF)
+            limbs[1].append(lo >> 16)
+            limbs[2].append(hi & 0xFFFF)
+            limbs[3].append(hi >> 16)
+            rejected = (hi > zh) | ((hi == zh) & (lo >= zl))
+            rej = rej + (rejected.astype(jnp.uint32) & m & 1)
+        sl = pl.ds(b * 8, 8)
+        for limb in range(4):
+            acc_ref[sl, limb] = acc_ref[sl, limb] + jnp.stack(limbs[limb])
+        return rej
+
+    rej = jax.lax.fori_loop(0, block_tile, block, rej)
+    rej_ref[c] = rej_ref[c] + rej
+
+    @pl.when(c == n_seed_tiles - 1)
+    def _emit():
+        # fold the sublane axis with explicit adds (multi-axis vector
+        # reductions have no Mosaic lowering); the 128-lane reduction
+        # happens in XLA outside the kernel on the [d, 4, 128] output
+        # (~2 GB of extra HBM traffic, ~5 ms — noise at this scale)
+        v = acc_ref[...]  # [dims_tile, 4, 8, 128]
+        s = v[:, :, 0, :]
+        for q in range(1, 8):
+            s = s + v[:, :, q, :]
+        out_ref[...] = s
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _fold_masks_jit(dimension, modulus, n_seed_tiles, interpret, seeds_planar,
+                    lane_mask):
+    block_tile = 32
+    dims_tile = block_tile * 8
+    n_dim_tiles = -(-dimension // dims_tile)
+    d_pad = n_dim_tiles * dims_tile
+    zone = ((1 << 64) - ((1 << 64) % modulus)) & ((1 << 64) - 1)
+    kernel = functools.partial(
+        _chacha_fold_kernel, block_tile, n_seed_tiles,
+        np.uint32(zone >> 32), np.uint32(zone & 0xFFFFFFFF),
+    )
+    lane_partials, rejects = pl.pallas_call(
+        kernel,
+        grid=(n_dim_tiles, n_seed_tiles),
+        in_specs=[
+            pl.BlockSpec((8, 8, 128), lambda t, c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((dims_tile, 4, 128), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_seed_tiles, 8, 128), lambda t, c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d_pad, 4, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_seed_tiles, 8, 128), jnp.uint32),
+        ],
+        scratch_shapes=[pltpu.VMEM((dims_tile, 4, 8, 128), jnp.uint32)],
+        interpret=interpret,
+    )(seeds_planar, lane_mask)
+    # per-(dim, limb, lane) partials < n_seeds * 2^16 < 2^31: signed sum
+    # is exact
+    limb_sums = jnp.sum(lane_partials.astype(jnp.int32), axis=2).astype(
+        jnp.uint32
+    )
+
+    # finalize: limb sums (each < 2^32) -> canonical value mod the
+    # pseudo-Mersenne p = 2^e - c via carry propagation + one fold
+    e = modulus.bit_length()
+    cp = (1 << e) - modulus
+    l16 = []
+    carry = jnp.zeros_like(limb_sums[:, 0])
+    for j in range(4):
+        tt = limb_sums[:, j] + carry
+        l16.append(tt & 0xFFFF)
+        carry = tt >> 16
+    # value = l16[0..3] + carry*2^64; 2^64 mod p = cp * 2^(64-e) (< 2^32
+    # for every 4-limb pseudo-Mersenne this path accepts); carry is small
+    # (~2^17), so `extra` fits u32 exactly
+    extra = carry * jnp.uint32(cp * (1 << (64 - e)))
+    # fold bits >= e of the 64-bit part: hi = value64 >> e (at e=63: 1 bit
+    # from l16[3] top) -> + hi*cp
+    from sda_tpu.ops.limbs import LimbContext
+
+    ctx = LimbContext.create(modulus)
+    lanes = [l16[0], l16[1], l16[2], l16[3]]
+    # add `extra` (< 2^32) as a two-limb quantity via the lane adder
+    ev = [extra & 0xFFFF, extra >> 16] + [jnp.zeros_like(extra)] * 2
+    summed = ctx.add_mod_lanes(_fold_e_bits(ctx, lanes, e, cp),
+                               _fold_e_bits(ctx, ev, e, cp))
+    return jnp.stack(summed, axis=-1)[:dimension], rejects
+
+
+def _fold_e_bits(ctx, lanes, e, cp):
+    """Canonicalise a 4-u16-limb value < 2^64 mod p = 2^e - cp (e <= 63):
+    two rounds of ``lo + cp * hi`` then a conditional subtract."""
+    zero = jnp.zeros_like(lanes[0])
+    wE, sh = e // 16, e % 16
+    for _ in range(2):
+        hi = lanes[wE] >> sh
+        bits = 16 - sh
+        for w in range(wE + 1, 4):
+            hi = hi | (lanes[w] << bits)
+            bits += 16
+        lanes = lanes[:wE] + [lanes[wE] & ((1 << sh) - 1)]
+        lanes += [zero] * (4 - len(lanes))
+        add = hi * jnp.uint32(cp)  # hi < 2^(64-e+16) small; cp small
+        incoming = (add & 0xFFFF, add >> 16)
+        carry = zero
+        for w in range(4):
+            t = lanes[w] + (incoming[w] if w < 2 else zero) + carry
+            lanes[w] = t & 0xFFFF
+            carry = t >> 16
+    return ctx._cond_sub(lanes, zero)
+
+
+def fold_masks_device(seed_words, dimension: int, modulus: int,
+                      interpret: bool = False):
+    """Fused federated-scale ChaCha mask fold for pseudo-Mersenne moduli.
+
+    ``[S]`` seeds -> (combined canonical limb array ``[d, L16=4]`` u32 on
+    device, per-seed rejection counts ``[S]``). The keystream, draw
+    pairing, and the seed-fold all happen inside ONE Pallas kernel with
+    full (8, 128) seed vregs and no HBM intermediates — the ~16 bytes/draw
+    the seed-chunk path streams through HBM never exist. Requires
+    ``p = 2^e - c`` with ``e <= 63`` (the flagship field family,
+    fields.find_special_prime_field); callers fall back to
+    :func:`combine_masks_device`'s chunk path otherwise.
+    """
+    from sda_tpu.ops.limbs import LimbContext
+
+    e = modulus.bit_length()
+    cp = (1 << e) - modulus
+    if (e > 63 or cp >= (1 << 14) or modulus % 2 == 0
+            or LimbContext.create(modulus).L != 4):
+        raise ValueError("fold_masks_device requires an odd pseudo-Mersenne "
+                         "modulus with e <= 63 (4 u16 limbs)")
+    interpret = interpret or jax.default_backend() == "cpu"
+    S = len(seed_words)
+    s_pad = -(-S // 1024) * 1024
+    seeds = np.zeros((s_pad, 8), dtype=np.uint32)
+    for i, w in enumerate(seed_words):
+        seeds[i, : min(8, len(w))] = [int(np.uint32(x)) for x in w[:8]]
+    planar = np.ascontiguousarray(
+        seeds.T.reshape(8, s_pad // 128, 128)
+    )
+    mask = np.zeros(s_pad, dtype=np.uint32)
+    mask[:S] = 0xFFFFFFFF
+    lane_mask = mask.reshape(s_pad // 1024, 8, 128)
+    limbs, rejects = _fold_masks_jit(
+        dimension, modulus, s_pad // 1024, interpret,
+        jnp.asarray(planar), jnp.asarray(lane_mask),
+    )
+    rej = np.asarray(rejects).reshape(-1)[:S]
+    return limbs, rej
+
+
+def combine_masks_device(seed_words, dimension: int, modulus: int,
+                         rows: int | None = None, interpret: bool = False,
+                         fixup_host: bool = True,
+                         seed_chunk: int | None = None):
     """Recipient-side combine: fold all participants' masks mod m.
+
+    Seeds stream through the device in ``seed_chunk``-sized blocks (sized
+    so the per-chunk keystream + mask intermediates stay ~2 GB — at
+    federated scale, 10k seeds x 1M dim is 80+ GB of masks that must
+    never exist at once; only the running ``[d, L]`` canonical sum does).
 
     Returns (combined mask ``[d]`` as canonical python ints, list of seed
     indices whose streams hit a gen_range rejection). With ``fixup_host``
@@ -207,22 +426,70 @@ def combine_masks_device(seed_words, dimension: int, modulus: int, rows: int = 8
     owns the (device-expansion, no-skip) semantics for the bad seeds.
     """
     ctx = LimbContext.create(modulus)
-    masks, rejects = expand_masks_device(
-        seed_words, dimension, modulus, rows=rows, interpret=interpret
-    )
-    combined = ctx.sum_mod(masks, axis=0)
-    bad = [int(i) for i in np.nonzero(np.asarray(rejects))[0]]
+    S = len(seed_words)
+    if S == 0:
+        return np.zeros(dimension, dtype=object), []
+    e = modulus.bit_length()
+    cp = (1 << e) - modulus
+    if (seed_chunk is None and rows is None and S >= 512
+            and e <= 63 and cp < (1 << 14) and modulus % 2 == 1
+            and ctx.L == 4
+            and not interpret and jax.default_backend() != "cpu"):
+        # federated scale on the flagship pseudo-Mersenne field: the fused
+        # fold kernel (full seed vregs, zero HBM intermediates) replaces
+        # the chunked expand+sum pipeline
+        limbs, rej = fold_masks_device(
+            seed_words, dimension, modulus, interpret=interpret
+        )
+        bad = [int(i) for i in np.nonzero(rej)[0]]
+        out = np.asarray(
+            [int(v) for v in ctx.decode(np.asarray(limbs))], dtype=object
+        )
+        if bad and fixup_host:
+            from sda_tpu import chacha
+
+            wrong = chacha.expand_masks_noskip(
+                [seed_words[i] for i in bad], dimension, modulus
+            )
+            exact = chacha.expand_masks(
+                [seed_words[i] for i in bad], dimension, modulus
+            )
+            for j in range(len(bad)):
+                out = (out - np.asarray(wrong[j], dtype=object)
+                       + np.asarray(exact[j], dtype=object)) % modulus
+        return out, bad
+    if seed_chunk is None:
+        # keep the [chunk, d, L] mask block (the largest intermediate)
+        # around 2 GB; kernel seed tiles are rows*128 wide
+        budget = 2 * 10**9
+        seed_chunk = max(128, budget // max(1, dimension * 4 * ctx.L))
+    seed_chunk = min(seed_chunk, max(1, S))
+    if rows is None:
+        rows = max(1, min(8, seed_chunk // 128))
+    acc = None
+    bad: list[int] = []
+    wrong_rows: list[np.ndarray] = []
+    for start in range(0, S, seed_chunk):
+        block = seed_words[start : start + seed_chunk]
+        masks, rejects = expand_masks_device(
+            block, dimension, modulus, rows=rows, interpret=interpret
+        )
+        partial = ctx.sum_mod(masks, axis=0)
+        acc = partial if acc is None else ctx.add_mod(acc, partial)
+        for i in np.nonzero(np.asarray(rejects))[0]:
+            bad.append(start + int(i))
+            if fixup_host:
+                wrong_rows.append(np.asarray(masks[int(i)]))
     out = np.asarray(
-        [int(v) for v in ctx.decode(np.asarray(combined))], dtype=object
+        [int(v) for v in ctx.decode(np.asarray(acc))], dtype=object
     )
     if bad and fixup_host:
         from sda_tpu import chacha
 
-        wrong = np.asarray(ctx.decode(np.asarray(masks[np.asarray(bad)])))
         exact = chacha.expand_masks(
             [seed_words[i] for i in bad], dimension, modulus
         )
         for j in range(len(bad)):
-            out = (out - np.asarray(wrong[j], dtype=object)
-                   + np.asarray(exact[j], dtype=object)) % modulus
+            wrong = np.asarray(ctx.decode(wrong_rows[j]), dtype=object)
+            out = (out - wrong + np.asarray(exact[j], dtype=object)) % modulus
     return out, bad

@@ -403,16 +403,24 @@ def _chunk_canonical(
         p_count, words_per_p, pg, n_bytes = rand_cfg
         T = sec_block.shape[-1]
         pltpu.prng_seed(seed_val)
-        accE = jnp.zeros((words_per_p, T), jnp.uint32)
+        accR = jnp.zeros((words_per_p, T), jnp.uint32)
         accO = jnp.zeros((words_per_p, T), jnp.uint32)
         for _ in range(p_count // pg):
             w = pltpu.bitcast(
                 pltpu.prng_random_bits((pg * words_per_p, T)), jnp.uint32
             ).reshape(pg, words_per_p, T)
-            # 2 VPU ops per u16 field; unrolled (no unsigned-reduce lowering)
+            # 3 VPU ops per word (down from 4): accumulate the RAW word and
+            # its high half; the low-half sum is recovered once per block
+            # below. Unrolled (no unsigned-reduce lowering). This loop is
+            # the binding compute stream of the small-P lane-batched
+            # serving shape (LANE_BATCH_FLOOR.json).
             for j in range(pg):
-                accE = accE + (w[j] & _MASK16)
+                accR = accR + w[j]
                 accO = accO + (w[j] >> _W16)
+        # accR = sum(lo) + 2^16*sum(hi) mod 2^32 and sum(lo) < 2^32 (the
+        # carry-chain bound caps p_count at 65793), so the u32 wrap
+        # subtraction is exact
+        accE = accR - (accO << _W16)
         parts = []
         for c in range(n_bytes):
             for s in (accE, accO):
@@ -540,6 +548,7 @@ def fused_share_combine_mxu8(
     n_chunks: int = 1,
     acc_in=None,  # optional [L16*n_out, NBP] u32: running canonical sums
     interpret: bool = False,
+    rand_participants: int | None = None,
 ):
     """Byte-limb fused MXU share+combine (+ optional fused reconstruct).
 
@@ -592,14 +601,27 @@ def fused_share_combine_mxu8(
     bigr = np.zeros((32, 32), dtype=np.int8)
     Cr = None
     if has_prng and rand_count:
+        # rand_participants: how many independent randomness draws the
+        # kernel sums per slot. Default p_count mirrors the protocol
+        # workload (every participant draws fresh randomness). Explicitly
+        # passing 1 enables the COMBINED-DRAW serving mode: only the
+        # combined result ever leaves this kernel, and a sum of P uniform
+        # draws mod p is distributionally identical to ONE uniform draw,
+        # so one equivalent draw per slot is sound *within the fused
+        # combine's trust model* — it cuts the PRNG + accumulate stream
+        # (the binding compute at small P, LANE_BATCH_FLOOR.json) by P.
+        # Never use it to emit per-participant shares.
+        rp = p_count if rand_participants is None else rand_participants
+        if rp < 1:
+            raise ValueError("rand_participants must be >= 1")
         words_per_p = rand_count * mxu8.rand_words
         # field sums fit u32 for any P < 2^16; byte count covers the sum
-        n_bytes = max(2, -(-((p_count * _MASK16).bit_length()) // _W8))
+        n_bytes = max(2, -(-((rp * _MASK16).bit_length()) // _W8))
         if pg is None:
-            pg = max(d for d in range(1, min(8, p_count) + 1) if p_count % d == 0)
-        elif p_count % pg:
-            raise ValueError("pg must divide p_count")
-        rand_cfg = (p_count, words_per_p, pg, n_bytes)
+            pg = max(d for d in range(1, min(8, rp) + 1) if rp % d == 0)
+        elif rp % pg:
+            raise ValueError("pg must divide rand_participants")
+        rand_cfg = (rp, words_per_p, pg, n_bytes)
 
     slots = list(range(k)) if has_prng else list(range(m))
     n_pad = -(-(n * L8 + 1) // 32) * 32

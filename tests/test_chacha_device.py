@@ -49,6 +49,77 @@ def test_combine_matches_host_masker():
         assert [int(x) for x in combined] == positive(host, modulus).tolist()
 
 
+def test_combine_seed_chunk_streaming_matches_one_pass():
+    """The chunked seed-streaming fold (federated scale: masks never all
+    materialise) is bit-identical to the one-pass fold, ragged tail chunk
+    included."""
+    modulus, d = (1 << 61) - 1, 96
+    seeds = [chacha.new_seed(128) for _ in range(11)]
+    one, bad1 = combine_masks_device(seeds, d, modulus, rows=1, interpret=True,
+                                     seed_chunk=len(seeds))
+    chunked, bad2 = combine_masks_device(seeds, d, modulus, rows=1,
+                                         interpret=True, seed_chunk=4)
+    assert bad1 == bad2 == []
+    assert [int(x) for x in one] == [int(x) for x in chunked]
+
+
+@pytest.mark.tpu
+def test_fused_fold_matches_host_and_pads_exactly():
+    """The federated-scale fused fold kernel (raw-draw limb accumulation,
+    v mod p ≡ v congruence, zero HBM intermediates) is bit-identical to
+    the host expand+fold — across two seed tiles (padding lanes masked)
+    and a ragged dim tile. Real-chip lane (interpret emulation of this
+    kernel is impractically slow on CPU, so the dispatch itself excludes
+    the CPU backend — pinned below)."""
+    import jax
+
+    from sda_tpu.fields import find_special_prime_field, trunc_add_mod
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("fused fold kernel runs on real accelerators only")
+    p, _, _ = find_special_prime_field(63, 8, 9)
+    S, d = 1100, 264  # pads to 2048 seeds / 2 tiles; ragged dim tile
+    seeds = [chacha.new_seed(128) for _ in range(S)]
+    out, bad = combine_masks_device(seeds, d, p)
+    assert bad == []
+    host = chacha.expand_masks(seeds, d, p)
+    acc = np.zeros(d, dtype=np.int64)
+    for row in host:
+        acc = trunc_add_mod(acc, row, p)
+    assert [int(x) for x in out] == [int(x) for x in acc]
+
+
+def test_fused_dispatch_skipped_on_cpu():
+    """On the CPU backend large-S combines stay on the (tested) chunk
+    path — the fused kernel's interpret emulation is impractically slow,
+    so the dispatch must never pick it without a real accelerator."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("pin is about the CPU backend")
+    from unittest import mock
+
+    from sda_tpu.fields import find_special_prime_field
+    from sda_tpu.ops import chacha_kernel as ck
+
+    p, _, _ = find_special_prime_field(63, 8, 9)
+    seeds = [chacha.new_seed(128) for _ in range(520)]
+    with mock.patch.object(
+        ck, "fold_masks_device",
+        side_effect=AssertionError("fused path must not run on cpu"),
+    ):
+        out, bad = ck.combine_masks_device(seeds, 16, p, seed_chunk=None)
+    assert len(out) == 16 and bad == []
+
+
+def test_fused_fold_requires_pseudo_mersenne():
+    from sda_tpu.ops.chacha_kernel import fold_masks_device
+
+    with pytest.raises(ValueError, match="pseudo-Mersenne"):
+        fold_masks_device([chacha.new_seed(128)], 8, (1 << 62) + 1,
+                          interpret=True)
+
+
 def test_even_modulus_rejected():
     with pytest.raises(ValueError):
         expand_masks_device([[1, 2, 3, 4]], 8, 256, interpret=True)

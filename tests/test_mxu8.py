@@ -184,6 +184,30 @@ def _check_randsum_algebra(spec, ctx, mxu8):
     assert np.array_equal(np.asarray(C), 128 * e.sum(axis=0))
 
 
+def test_three_op_accumulate_wrap_algebra():
+    """The kernel's 3-op randomness accumulate (accR raw + accO high
+    halves; low-half sum recovered as ``accR - (accO << 16)`` in u32 wrap
+    arithmetic) equals the direct low-half sum for any words, as long as
+    the low-half sum fits u32 — which the carry-chain participant bound
+    (p_count <= 65793) guarantees. Pure u32 algebra, pinned at the bound."""
+    rng = np.random.default_rng(9)
+    for p_count in (1, 7, 100, 65793):
+        # adversarial: all-0xFFFF low halves at the participant bound
+        w = rng.integers(0, 1 << 32, size=(p_count, 8), dtype=np.uint64)
+        w[: p_count // 2] |= 0xFFFF  # saturate many low halves
+        w32 = w.astype(np.uint32)
+        accR = np.zeros(8, np.uint32)
+        accO = np.zeros(8, np.uint32)
+        with np.errstate(over="ignore"):
+            for j in range(p_count):
+                accR = accR + w32[j]
+                accO = accO + (w32[j] >> np.uint32(16))
+            accE = accR - (accO << np.uint32(16))
+        direct = (w & 0xFFFF).sum(axis=0)
+        assert (direct < (1 << 32)).all()
+        assert accE.astype(np.uint64).tolist() == direct.tolist()
+
+
 def test_rand_fold_width_staircase():
     """The PRNG fold-bias staircase (advisor r4): for pseudo-Mersenne
     ``p = 2^e - c``, ``rem = 2^b mod p`` is NOT flat in the fold width b —
@@ -397,8 +421,17 @@ def test_lane_batched_jobs_exact_per_job():
     batched = engine.concat_jobs_lanes(jobs)
     # the supported serving entry point: one launch, per-job reveal tensors
     outs = engine.aggregate_mxu8_kernel_jobs(batched, 0, P, n_jobs, lanes=lanes)
-    for i, got in enumerate(outs):
-        assert np.array_equal(np.asarray(got), singles[i])
+    assert outs.shape == (n_jobs, engine.nb, spec.secret_count, ctx.L)
+    for i in range(n_jobs):
+        assert np.array_equal(np.asarray(outs[i]), singles[i])
+    # combined-draw serving mode: one equivalent randomness draw per slot;
+    # the reconstructed secrets are identical (randomness cancels at
+    # reconstruction; only the never-emitted share representation differs)
+    outs_c = engine.aggregate_mxu8_kernel_jobs(
+        batched, 0, P, n_jobs, lanes=lanes, combined_randomness=True
+    )
+    for i in range(n_jobs):
+        assert np.array_equal(np.asarray(outs_c[i]), singles[i])
     # shape mismatches are rejected, not silently mis-sliced
     with pytest.raises(ValueError, match="share the planar shape"):
         engine.concat_jobs_lanes([jobs[0], jobs[1][:, : lanes // 2]])
