@@ -1021,13 +1021,16 @@ def main():
         file=sys.stderr,
     )
     print(f"# roofline: {json.dumps(rep)}", file=sys.stderr)
+    # config 4 runs IMMEDIATELY after the headline: it reuses the headline
+    # pass's kernel compile and measures before config-2/3 buffers
+    # fragment HBM (cross-process medians differed ~7% when it ran last)
+    rep4, rate4, sp4 = _bench_config4_streaming(dimension)
     cfg2 = _bench_config2()
     (rep2, gfops2, sp2) = cfg2["single"]
     (rep2b, gfops2b, sp2b) = cfg2["b64"]
     (rep2l, gfops2l, sp2l) = cfg2["b512"]
     (rep2c, gfops2c, sp2c) = cfg2["b512_combined"]
     rep3, gfops3, sp3 = _bench_config3()
-    rep4, rate4, sp4 = _bench_config4_streaming(dimension)
     clerk = _bench_clerk_host()
     fullmask = _bench_fullmask_reveal()
     chacha_rev = _bench_chacha_reveal()

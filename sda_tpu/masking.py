@@ -218,7 +218,9 @@ class ChaChaMasker:
             combined, _bad = combine_masks_device(
                 word_lists, self.dimension, self.modulus
             )
-            return np.array([int(x) for x in combined], dtype=np.int64)
+            # vectorised conversion (combined may be int64 already on the
+            # fused path, or object ints from the chunk path)
+            return np.asarray(combined, dtype=np.int64)
         masks = chacha.expand_masks(word_lists, self.dimension, self.modulus)
         acc = np.zeros(self.dimension, dtype=np.int64)
         for row in masks:

@@ -442,9 +442,11 @@ def combine_masks_device(seed_words, dimension: int, modulus: int,
             seed_words, dimension, modulus, interpret=interpret
         )
         bad = [int(i) for i in np.nonzero(rej)[0]]
-        out = np.asarray(
-            [int(v) for v in ctx.decode(np.asarray(limbs))], dtype=object
-        )
+        # canonical < 2^63 on this path: vectorised int64 limb recombine
+        # (a python-int decode of a 1M-dim vector costs seconds of host
+        # time — it was visible in the chacha_reveal bench row)
+        la = np.asarray(limbs).astype(np.int64)
+        out = la[:, 0] | (la[:, 1] << 16) | (la[:, 2] << 32) | (la[:, 3] << 48)
         if bad and fixup_host:
             from sda_tpu import chacha
 
@@ -454,9 +456,13 @@ def combine_masks_device(seed_words, dimension: int, modulus: int,
             exact = chacha.expand_masks(
                 [seed_words[i] for i in bad], dimension, modulus
             )
+            # python-int object arithmetic: the intermediate sums cross
+            # 2^63, so int64 element types would silently wrap
+            o = np.array(out.tolist(), dtype=object)
             for j in range(len(bad)):
-                out = (out - np.asarray(wrong[j], dtype=object)
-                       + np.asarray(exact[j], dtype=object)) % modulus
+                o = (o - np.array(wrong[j].tolist(), dtype=object)
+                     + np.array(exact[j].tolist(), dtype=object)) % modulus
+            return o, bad
         return out, bad
     if seed_chunk is None:
         # keep the [chunk, d, L] mask block (the largest intermediate)
