@@ -385,6 +385,13 @@ def fold_masks_device(seed_words, dimension: int, modulus: int,
                          "modulus with e <= 63 (4 u16 limbs)")
     interpret = interpret or jax.default_backend() == "cpu"
     S = len(seed_words)
+    # exactness bound: the emit-time lane reduction runs in int32, so the
+    # per-(dim, limb) sum S * 0xFFFF must stay < 2^31 -> S < 32768. The
+    # caller-facing cap is 16384 (one pad granule of headroom); larger
+    # seed sets are grouped in combine_masks_device.
+    if S > 16384:
+        raise ValueError("fold_masks_device caps at 16384 seeds per call "
+                         "(int32 lane-reduce bound); group larger sets")
     s_pad = -(-S // 1024) * 1024
     seeds = np.zeros((s_pad, 8), dtype=np.uint32)
     for i, w in enumerate(seed_words):
@@ -437,16 +444,27 @@ def combine_masks_device(seed_words, dimension: int, modulus: int,
             and not interpret and jax.default_backend() != "cpu"):
         # federated scale on the flagship pseudo-Mersenne field: the fused
         # fold kernel (full seed vregs, zero HBM intermediates) replaces
-        # the chunked expand+sum pipeline
-        limbs, rej = fold_masks_device(
-            seed_words, dimension, modulus, interpret=interpret
-        )
-        bad = [int(i) for i in np.nonzero(rej)[0]]
-        # canonical < 2^63 on this path: vectorised int64 limb recombine
-        # (a python-int decode of a 1M-dim vector costs seconds of host
-        # time — it was visible in the chacha_reveal bench row)
-        la = np.asarray(limbs).astype(np.int64)
-        out = la[:, 0] | (la[:, 1] << 16) | (la[:, 2] << 32) | (la[:, 3] << 48)
+        # the chunked expand+sum pipeline. Groups of <=16384 seeds respect
+        # the kernel's int32 lane-reduce bound; group results fold via the
+        # overflow-safe host add (canonical operands < 2^63).
+        from sda_tpu.fields import trunc_add_mod
+
+        group = 16384
+        out = None
+        bad = []
+        for start in range(0, S, group):
+            chunk_words = seed_words[start : start + group]
+            limbs, rej = fold_masks_device(
+                chunk_words, dimension, modulus, interpret=interpret
+            )
+            bad.extend(start + int(i) for i in np.nonzero(rej)[0])
+            # canonical < 2^63 on this path: vectorised int64 limb
+            # recombine (a python-int decode of a 1M-dim vector costs
+            # seconds of host time — visible in the chacha_reveal row)
+            la = np.asarray(limbs).astype(np.int64)
+            part = (la[:, 0] | (la[:, 1] << 16) | (la[:, 2] << 32)
+                    | (la[:, 3] << 48))
+            out = part if out is None else trunc_add_mod(out, part, modulus)
         if bad and fixup_host:
             from sda_tpu import chacha
 

@@ -120,6 +120,40 @@ def test_fused_fold_requires_pseudo_mersenne():
                           interpret=True)
 
 
+def test_fused_fold_seed_cap_enforced():
+    """The kernel's int32 lane reduce bounds one call at 16384 seeds;
+    combine_masks_device groups above it (grouping pinned on-chip below)."""
+    from sda_tpu.fields import find_special_prime_field
+    from sda_tpu.ops.chacha_kernel import fold_masks_device
+
+    p, _, _ = find_special_prime_field(63, 8, 9)
+    with pytest.raises(ValueError, match="16384 seeds"):
+        fold_masks_device([[0] * 4] * 16385, 8, p, interpret=True)
+
+
+@pytest.mark.tpu
+def test_fused_fold_grouping_above_cap():
+    """>16384 seeds split into kernel-bound groups whose canonical partial
+    sums fold exactly (overflow-safe host add) — same reveal as the host
+    expansion."""
+    import jax
+
+    from sda_tpu.fields import find_special_prime_field, trunc_add_mod
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("fused fold kernel runs on real accelerators only")
+    p, _, _ = find_special_prime_field(63, 8, 9)
+    S, d = 16_500, 16  # crosses the 16384 cap -> two groups
+    seeds = [chacha.new_seed(128) for _ in range(S)]
+    out, bad = combine_masks_device(seeds, d, p)
+    assert bad == []
+    host = chacha.expand_masks(seeds, d, p)
+    acc = np.zeros(d, dtype=np.int64)
+    for row in host:
+        acc = trunc_add_mod(acc, row, p)
+    assert [int(x) for x in out] == [int(x) for x in acc]
+
+
 def test_even_modulus_rejected():
     with pytest.raises(ValueError):
         expand_masks_device([[1, 2, 3, 4]], 8, 256, interpret=True)
