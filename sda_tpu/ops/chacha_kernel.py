@@ -322,18 +322,27 @@ def _fold_masks_jit(dimension, modulus, n_seed_tiles, interpret, seeds_planar,
         tt = limb_sums[:, j] + carry
         l16.append(tt & 0xFFFF)
         carry = tt >> 16
-    # value = l16[0..3] + carry*2^64; 2^64 mod p = cp * 2^(64-e) (< 2^32
-    # for every 4-limb pseudo-Mersenne this path accepts); carry is small
-    # (~2^17), so `extra` fits u32 exactly
-    extra = carry * jnp.uint32(cp * (1 << (64 - e)))
+    # value = l16[0..3] + carry*2^64; K = 2^64 mod p = cp * 2^(64-e) is
+    # < 2^32 for every 4-limb pseudo-Mersenne this path accepts (e >= 49
+    # -> p > K), and with the 16384-seed cap limb sums are < 2^30 so
+    # carry < 2^15. carry*K can still reach ~2^47, far past u32 — compute
+    # it as two u16-half products and carry-propagate into u16 limbs
+    # (every intermediate < 2^31; a direct u32 multiply silently wrapped
+    # for e < ~60, caught in the r5 self-review).
+    K = cp * (1 << (64 - e))
+    p_lo = carry * jnp.uint32(K & 0xFFFF)  # < 2^15 * 2^16 = 2^31
+    p_hi = carry * jnp.uint32(K >> 16)  # < 2^31
+    e0 = p_lo & 0xFFFF
+    r1 = (p_lo >> 16) + (p_hi & 0xFFFF)
+    e1 = r1 & 0xFFFF
+    r2 = (r1 >> 16) + (p_hi >> 16)
+    ev = [e0, e1, r2 & 0xFFFF, r2 >> 16]
     # fold bits >= e of the 64-bit part: hi = value64 >> e (at e=63: 1 bit
     # from l16[3] top) -> + hi*cp
     from sda_tpu.ops.limbs import LimbContext
 
     ctx = LimbContext.create(modulus)
     lanes = [l16[0], l16[1], l16[2], l16[3]]
-    # add `extra` (< 2^32) as a two-limb quantity via the lane adder
-    ev = [extra & 0xFFFF, extra >> 16] + [jnp.zeros_like(extra)] * 2
     summed = ctx.add_mod_lanes(_fold_e_bits(ctx, lanes, e, cp),
                                _fold_e_bits(ctx, ev, e, cp))
     return jnp.stack(summed, axis=-1)[:dimension], rejects

@@ -130,7 +130,8 @@ class ShardedAggregationPipeline:
                 # re-overlap windows; distinct seeds stay window-disjoint
                 # up to that (documented) period.
                 grid_n = sec7_loc.shape[1] // lanes
-                windows = max(1, (1 << 31) // (n_shards * grid_n))
+                windows = min(max(1, (1 << 31) // (n_shards * grid_n)),
+                              (1 << 31) - 1)  # int32-representable
                 local_seed = (
                     (seed % jnp.int32(windows)) * jnp.int32(n_shards)
                     + idx.astype(jnp.int32)
@@ -209,7 +210,8 @@ class ShardedAggregationPipeline:
                 # the int32-wrap-safe fold): callers pass consecutive chunk
                 # indices, not pre-scaled seeds
                 grid_n = sec7_loc.shape[1] // lanes
-                windows = max(1, (1 << 31) // (n_shards * grid_n))
+                windows = min(max(1, (1 << 31) // (n_shards * grid_n)),
+                              (1 << 31) - 1)  # int32-representable
                 local_seed = (
                     (seed % jnp.int32(windows)) * jnp.int32(n_shards)
                     + idx.astype(jnp.int32)
@@ -339,7 +341,8 @@ class ShardedAggregationPipeline:
                 # int32-wrap-safe schedule as the 7-bit path): callers pass
                 # consecutive chunk indices
                 grid_n = sec8_loc.shape[1] // lanes
-                windows = max(1, (1 << 31) // (n_shards * grid_n))
+                windows = min(max(1, (1 << 31) // (n_shards * grid_n)),
+                              (1 << 31) - 1)  # int32-representable
                 local_seed = (
                     (seed % jnp.int32(windows)) * jnp.int32(n_shards)
                     + idx.astype(jnp.int32)

@@ -135,7 +135,14 @@ def current_probe() -> Probe:
     env_fold = os.environ.get("SDA_HOST_FOLD_GBS")
     env_link = os.environ.get("SDA_LINK_GBS")
     if env_fold or env_link:
-        link, backend = (float(env_link), "env") if env_link else (None, None)
+        # each rate independently comes from config or from its probe — a
+        # fold-only config must NOT imply "no accelerator" (that would
+        # silently disable every device route on a host that merely pinned
+        # its fold rate)
+        if env_link:
+            link, backend = float(env_link), "env"
+        else:
+            link, backend = _measure_link()
         _PROBE = Probe(
             host_fold_gbs=float(env_fold) if env_fold else _measure_host_fold(),
             link_gbs=link,
@@ -185,7 +192,7 @@ class RoutingPolicy:
         p = self.probe
         if participants * dimension < max(1, self.bulk_floor):
             return "host"
-        if p.link_gbs is None or p.device_backend is None:
+        if not p.has_device:  # incl. the cpu backend: memcpy is not a link
             return "host"
         return "device" if p.link_gbs > p.host_fold_gbs else "host"
 
@@ -211,7 +218,7 @@ class RoutingPolicy:
         p = self.probe
         if est_elements < max(1, self.bulk_floor):
             return "host"
-        if p.link_gbs is None or p.device_backend is None:
+        if not p.has_device:  # incl. the cpu backend: memcpy is not a link
             return "host"
         return "device" if p.link_gbs > p.host_fold_gbs else "host"
 

@@ -132,6 +132,33 @@ def test_fused_fold_seed_cap_enforced():
 
 
 @pytest.mark.tpu
+def test_fused_fold_sub63_bit_modulus_exact():
+    """e < 63 pseudo-Mersenne: the 2^64-carry term K = cp*2^(64-e) grows
+    to ~2^29, and carry*K to ~2^44 — the r5 self-review found a u32
+    multiply silently wrapping here for every e below ~60 (only e = 63
+    stayed under the bound, so flagship-prime tests passed). Pins the
+    u16-half product fix against the exact host fold."""
+    import jax
+
+    from sda_tpu.fields import find_special_prime_field, trunc_add_mod
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("fused fold kernel runs on real accelerators only")
+    p, _, _ = find_special_prime_field(55, 8, 9)
+    assert p.bit_length() == 55 and ((1 << 55) - p) < (1 << 14)
+    S, d = 1100, 96
+    seeds = [chacha.new_seed(128) for _ in range(S)]
+    out, bad = combine_masks_device(seeds, d, p)
+    host = chacha.expand_masks(seeds, d, p)
+    acc = np.zeros(d, dtype=np.int64)
+    for row in host:
+        acc = trunc_add_mod(acc, row, p)
+    # any rejection-hit seed is fixed up inside (prob ~cp*2^9/2^64 per
+    # draw at e=55 — effectively zero here)
+    assert [int(x) for x in out] == [int(x) for x in acc]
+
+
+@pytest.mark.tpu
 def test_fused_fold_grouping_above_cap():
     """>16384 seeds split into kernel-bound groups whose canonical partial
     sums fold exactly (overflow-safe host add) — same reveal as the host

@@ -30,6 +30,8 @@ def test_fullmask_route_follows_link_vs_fold():
     assert RoutingPolicy(PCIE).fullmask_combine(10_000, BULK) == "device"
     # no device at all
     assert RoutingPolicy(NO_DEV).fullmask_combine(10_000, BULK) == "host"
+    # a cpu "device" is a memcpy measured as a link, never a route target
+    assert RoutingPolicy(CPU_ONLY).fullmask_combine(10_000, BULK) == "host"
 
 
 def test_chacha_route_ignores_link_rate():
@@ -44,6 +46,8 @@ def test_chacha_route_ignores_link_rate():
 def test_clerk_fallback_same_comparison_as_fullmask():
     assert RoutingPolicy(TUNNEL).clerk_fallback_combine(BULK) == "host"
     assert RoutingPolicy(PCIE).clerk_fallback_combine(BULK) == "device"
+    assert RoutingPolicy(CPU_ONLY).clerk_fallback_combine(BULK) == "host"
+    assert RoutingPolicy(NO_DEV).clerk_fallback_combine(BULK) == "host"
 
 
 def test_size_floor_keeps_small_jobs_on_host():
@@ -133,5 +137,28 @@ def test_probe_env_override(monkeypatch):
         assert probe.source == "env"
         assert probe.link_gbs == 16.0 and probe.host_fold_gbs == 2.5
         assert RoutingPolicy(probe).fullmask_combine(10_000, BULK) == "device"
+    finally:
+        set_probe(None)
+
+
+def test_probe_env_fold_only_still_measures_link(monkeypatch):
+    """Pinning only the fold rate must NOT imply 'no accelerator': the
+    link is still probed (on this CPU test host that honestly yields no
+    device — but via measurement, not assumption)."""
+    set_probe(None)
+    monkeypatch.setenv("SDA_HOST_FOLD_GBS", "2.5")
+    monkeypatch.delenv("SDA_LINK_GBS", raising=False)
+    try:
+        from sda_tpu import routing
+
+        measured = []
+        real = routing._measure_link
+        monkeypatch.setattr(
+            routing, "_measure_link",
+            lambda *a, **k: measured.append(1) or real(*a, **k),
+        )
+        probe = routing.current_probe()
+        assert measured, "_measure_link was not called for a fold-only config"
+        assert probe.host_fold_gbs == 2.5
     finally:
         set_probe(None)

@@ -117,14 +117,17 @@ def main() -> int:
     )
     controls = {}
 
-    def noop_kernel(s_ref, o_ref):
-        o_ref[...] = jnp.zeros_like(o_ref)
+    # seed flows into the output: every timed execution distinct
+    # (device_time's contract — identical dispatches can dedup)
+    def noop_kernel(seed_ref, s_ref, o_ref):
+        o_ref[...] = jnp.zeros_like(o_ref) + seed_ref[0].astype(jnp.uint32)
 
     out_rows = ctx.L * k
     noop = pl.pallas_call(
         noop_kernel,
         grid=(nbp // lanes, n_chunks),
-        in_specs=[pl.BlockSpec((rows, lanes), lambda t, c: (c, t),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((rows, lanes), lambda t, c: (c, t),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((out_rows, lanes), lambda t, c: (0, t),
                                memory_space=pltpu.VMEM),
@@ -133,8 +136,11 @@ def main() -> int:
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )
-    noop_j = jax.jit(lambda x: noop(x))
-    sp_noop, _ = device_time_samples(lambda i: noop_j(sec8_all), samples=3, iters=3)
+    noop_j = jax.jit(lambda s, x: noop(s, x))
+    sp_noop, _ = device_time_samples(
+        lambda i: noop_j(jnp.asarray([i], jnp.int32), sec8_all),
+        samples=3, iters=3,
+    )
     controls["noop_dma_floor_ms"] = round(sp_noop["median"] * 1e3, 4)
 
     for name, kw in (

@@ -91,21 +91,26 @@ def main() -> int:
     )
     dt_real = results[f"real_lanes{best_lanes}"]["s"]["median"]
 
-    # 2. no-op with the same grid/blocks: the DMA-streaming floor
-    def noop_kernel(s_ref, o_ref):
-        o_ref[...] = jnp.zeros_like(o_ref)
+    # 2. no-op with the same grid/blocks: the DMA-streaming floor. The
+    # seed scalar flows into the output so every timed execution is
+    # distinct (device_time's contract — identical dispatches can dedup)
+    def noop_kernel(seed_ref, s_ref, o_ref):
+        o_ref[...] = jnp.zeros_like(o_ref) + seed_ref[0].astype(jnp.uint32)
 
     noop = pl.pallas_call(
         noop_kernel,
         grid=(nbp // best_lanes,),
-        in_specs=[pl.BlockSpec((rows, best_lanes), lambda t: (0, t),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((rows, best_lanes), lambda t: (0, t),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((out_rows_rec, best_lanes), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((out_rows_rec, nbp), jnp.uint32),
     )
-    noop_j = jax.jit(lambda x: noop(x))
-    dt_noop, _ = device_time_samples(lambda i: noop_j(sec8), samples=5, iters=3)
+    noop_j = jax.jit(lambda s, x: noop(s, x))
+    dt_noop, _ = device_time_samples(
+        lambda i: noop_j(jnp.asarray([i], jnp.int32), sec8), samples=5, iters=3
+    )
     results["noop_same_shape"] = {"s": dt_noop}
     print(f"# noop: {dt_noop['median']*1e3:.3f} ms", file=sys.stderr)
 

@@ -67,35 +67,43 @@ def main() -> int:
                             out_rows * lanes * 4),
     )
 
-    # 2. no-op with the same input block + output shape (launch + DMA floor)
-    def noop_kernel(s_ref, o_ref):
-        o_ref[...] = jnp.zeros_like(o_ref)
+    # 2. no-op with the same input block + output shape (launch + DMA
+    # floor). The seed scalar flows into the output so every timed
+    # execution is distinct (device_time's contract)
+    def noop_kernel(seed_ref, s_ref, o_ref):
+        o_ref[...] = jnp.zeros_like(o_ref) + seed_ref[0].astype(o_ref.dtype)
 
     noop = pl.pallas_call(
         noop_kernel,
         grid=(1,),
-        in_specs=[pl.BlockSpec((rows, lanes), lambda t: (0, 0),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((rows, lanes), lambda t: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((out_rows, lanes), lambda t: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((out_rows, lanes), jnp.uint32),
     )
-    noop_j = jax.jit(lambda x: noop(x))
-    dt_noop, _ = device_time(lambda i: noop_j(sec8), iters=30)
+    noop_j = jax.jit(lambda s, x: noop(s, x))
+    dt_noop, _ = device_time(
+        lambda i: noop_j(jnp.asarray([i], jnp.int32), sec8), iters=30
+    )
 
     # 3. bare launch floor: 1-row input, same output
     tiny = jnp.zeros((8, 128), jnp.int8)
     bare = pl.pallas_call(
         noop_kernel,
         grid=(1,),
-        in_specs=[pl.BlockSpec((8, 128), lambda t: (0, 0),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((8, 128), lambda t: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((8, 128), lambda t: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
     )
-    bare_j = jax.jit(lambda x: bare(x))
-    dt_bare, _ = device_time(lambda i: bare_j(tiny), iters=30)
+    bare_j = jax.jit(lambda s, x: bare(s, x))
+    dt_bare, _ = device_time(
+        lambda i: bare_j(jnp.asarray([i], jnp.int32), tiny), iters=30
+    )
 
     # 4. serving mode: 64 jobs lane-concatenated into one launch
     jobs = 64
