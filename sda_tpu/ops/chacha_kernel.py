@@ -272,10 +272,9 @@ def _chacha_fold_kernel(block_tile, n_seed_tiles, zone_hi, zone_lo,
         out_ref[...] = s
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _fold_masks_jit(dimension, modulus, n_seed_tiles, interpret, seeds_planar,
-                    lane_mask):
-    block_tile = 32
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _fold_masks_jit(dimension, modulus, n_seed_tiles, interpret, block_tile,
+                    seeds_planar, lane_mask):
     dims_tile = block_tile * 8
     n_dim_tiles = -(-dimension // dims_tile)
     d_pad = n_dim_tiles * dims_tile
@@ -304,6 +303,9 @@ def _fold_masks_jit(dimension, modulus, n_seed_tiles, interpret, seeds_planar,
             jax.ShapeDtypeStruct((n_seed_tiles, 8, 128), jnp.uint32),
         ],
         scratch_shapes=[pltpu.VMEM((dims_tile, 4, 8, 128), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(seeds_planar, lane_mask)
     # per-(dim, limb, lane) partials < n_seeds * 2^16 < 2^31: signed sum
@@ -372,7 +374,7 @@ def _fold_e_bits(ctx, lanes, e, cp):
 
 
 def fold_masks_device(seed_words, dimension: int, modulus: int,
-                      interpret: bool = False):
+                      interpret: bool = False, block_tile: int = 32):
     """Fused federated-scale ChaCha mask fold for pseudo-Mersenne moduli.
 
     ``[S]`` seeds -> (combined canonical limb array ``[d, L16=4]`` u32 on
@@ -412,7 +414,7 @@ def fold_masks_device(seed_words, dimension: int, modulus: int,
     mask[:S] = 0xFFFFFFFF
     lane_mask = mask.reshape(s_pad // 1024, 8, 128)
     limbs, rejects = _fold_masks_jit(
-        dimension, modulus, s_pad // 1024, interpret,
+        dimension, modulus, s_pad // 1024, interpret, block_tile,
         jnp.asarray(planar), jnp.asarray(lane_mask),
     )
     rej = np.asarray(rejects).reshape(-1)[:S]
