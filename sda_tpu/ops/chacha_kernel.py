@@ -122,6 +122,11 @@ def chacha_keystream(seed_words, nblocks: int, rows: int = 8, block_tile: int = 
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nbp, 16, sp // 128, 128), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            # the 16 MB scoped-VMEM default strangles Mosaic's buffering
+            # (lifting it was a 3.8x unlock on the fused fold kernel)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(planar)
     # [nbp, 16, S] -> [S, nblocks, 16]

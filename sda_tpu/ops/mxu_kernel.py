@@ -518,6 +518,11 @@ def fused_share_combine_mxu(
             (n_out, out_limbs, lanes), lambda t: (0, 0, t), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_out, out_limbs, nbp), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            # 16 MB scoped-VMEM default strangles Mosaic buffering (the r5
+            # fused-ChaCha-fold finding: lifting it alone was 3.8x)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         jnp.asarray([seed], dtype=jnp.int32),

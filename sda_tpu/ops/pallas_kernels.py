@@ -215,6 +215,11 @@ def fused_share_combine_planar(
         ),
         out_shape=jax.ShapeDtypeStruct((n, L, nbr, 128), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((n, L + 1, rows, 128), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            # 16 MB scoped-VMEM default strangles Mosaic buffering (the r5
+            # fused-ChaCha-fold finding: lifting it alone was 3.8x)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         jnp.asarray([seed], dtype=jnp.int32),
