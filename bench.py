@@ -667,8 +667,11 @@ def _bench_chacha_reveal():
     assert [int(x) for x in dev_sl] == [int(x) for x in acc], \
         "chacha device combine != host fold"
 
-    # device at full scale (wall clock around the host-driven chunk loop;
-    # the final decode forces synchronisation, so no async deflation)
+    # device at full scale (wall clock around the host-driven call; the
+    # final decode forces synchronisation, so no async deflation). One
+    # warm-up call first: the full-scale jit compile (~4 s through the
+    # remote helper) must not be billed to the steady-state rate.
+    combine_masks_device(seeds, d, p)
     t0 = time.perf_counter()
     combined, bad = combine_masks_device(seeds, d, p)
     t_dev = time.perf_counter() - t0
